@@ -1,0 +1,201 @@
+"""Logit filters and penalties for decoding — TPU-shaped.
+
+These reproduce the semantics of the reference's sampling math but as
+fixed-shape, batched, jit-compatible functions:
+
+- top_k_top_p_filter: the batched filter with *per-sample* top_k / top_p
+  (reference sampling.py:114-162 `top_k_top_p_filtering_batch`, incl. the
+  fractional-top_k convention where 0 < k < 1 means a fraction of the
+  vocabulary). The reference's per-row Python loop becomes one sorted
+  scan over the whole batch.
+- typical_filter: typical decoding (Meister et al. 2022,
+  reference sampling.py:72-102).
+- repetition_penalty: CTRL-style sign-aware gather/scale/scatter
+  (reference sampling.py:65-69), with a validity mask instead of ragged
+  token lists.
+- sentence_length_penalty: scales the stop-token logit by
+  (current_length / desired_length) * length_factor. NOTE: the reference
+  (inference.py:59-68) compares logit *values* against the stop-token id
+  (`tok_logits == stop_token`), which never fires in practice; we
+  implement the documented intent (scale the stop token's logit).
+
+All filters take logits of shape [B, V] (use [1, V] for single samples)
+and return filtered logits with masked entries set to -inf. Hyperparameters
+may be Python scalars or per-row vectors of shape [B].
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+Scalar = Union[float, int, jnp.ndarray]
+
+
+def _per_row(x: Scalar, batch: int, dtype=jnp.float32) -> jnp.ndarray:
+    x = jnp.asarray(x, dtype=dtype)
+    if x.ndim == 0:
+        x = jnp.broadcast_to(x, (batch,))
+    return x.reshape(batch)
+
+
+def _unsort_mask(sorted_mask: jnp.ndarray, sorted_indices: jnp.ndarray) -> jnp.ndarray:
+    """Scatter a boolean mask computed in sorted order back to original order."""
+    inv = jnp.argsort(sorted_indices, axis=-1)
+    return jnp.take_along_axis(sorted_mask, inv, axis=-1)
+
+
+def top_k_top_p_filter(
+    logits: jnp.ndarray,
+    top_k: Scalar = 0,
+    top_p: Scalar = 0.0,
+    filter_value: float = NEG_INF,
+) -> jnp.ndarray:
+    """Batched top-k + nucleus filtering with per-sample parameters.
+
+    top_k semantics (matching reference sampling.py:126-148):
+      k <= 0        -> disabled
+      0 < k < 1     -> keep max(1, floor(k * V)) tokens (fraction of vocab)
+      k >= 1        -> keep floor(k) tokens
+    top_p semantics (reference sampling.py:149-160): p <= 0 disables; keeps
+    the smallest set of top tokens whose cumulative probability exceeds p,
+    always including the first token above the threshold.
+    """
+    batch, vocab = logits.shape
+    logits = logits.astype(jnp.float32)
+
+    k = _per_row(top_k, batch)
+    p = _per_row(top_p, batch)
+
+    sorted_idx = jnp.argsort(-logits, axis=-1)  # descending, stable
+    sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+
+    # ---- top-k: per-row cutoff at the k-th largest value -------------------
+    k_eff = jnp.where((k > 0) & (k < 1), jnp.maximum(1.0, jnp.floor(k * vocab)), jnp.floor(k))
+    k_eff = jnp.clip(k_eff, 0, vocab).astype(jnp.int32)
+    # cutoff value = sorted_logits[k_eff - 1] (only meaningful when k_eff > 0)
+    gather_at = jnp.clip(k_eff - 1, 0, vocab - 1)[:, None]
+    cutoff = jnp.take_along_axis(sorted_logits, gather_at, axis=-1)  # [B, 1]
+    k_active = (k_eff > 0)[:, None]
+    # reference removes logits strictly below the cutoff (ties survive)
+    logits = jnp.where(k_active & (logits < cutoff), filter_value, logits)
+
+    # ---- top-p (nucleus) ----------------------------------------------------
+    # recompute sorted view of the (possibly top-k-filtered) logits
+    sorted_idx = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    remove = cum > p[:, None]
+    # shift right so the first token crossing the threshold is kept
+    remove = jnp.concatenate(
+        [jnp.zeros_like(remove[:, :1]), remove[:, :-1]], axis=-1
+    )
+    p_active = (p > 0.0)[:, None]
+    remove = remove & p_active
+    remove = _unsort_mask(remove, sorted_idx)
+    return jnp.where(remove, filter_value, logits)
+
+
+def typical_filter(
+    logits: jnp.ndarray,
+    typ_p: Scalar = 0.0,
+    min_tokens_to_keep: int = 1,
+    filter_value: float = NEG_INF,
+) -> jnp.ndarray:
+    """Typical decoding filter (reference sampling.py:72-102).
+
+    Keeps the tokens whose -log p is closest to the distribution entropy,
+    accumulating probability mass until typ_p. typ_p <= 0 disables.
+    """
+    batch, vocab = logits.shape
+    logits = logits.astype(jnp.float32)
+    tp = _per_row(typ_p, batch)
+
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    probs = jnp.exp(log_probs)
+    # -inf logits give p=0, log_probs=-inf -> 0 * -inf = nan; nansum semantics
+    plogp = jnp.where(probs > 0, log_probs * probs, 0.0)
+    entropy = -jnp.sum(plogp, axis=-1, keepdims=True)
+    shifted = jnp.abs(log_probs + entropy)  # distance from typicality
+
+    order = jnp.argsort(shifted, axis=-1)  # ascending, stable
+    sorted_scores = jnp.take_along_axis(shifted, order, axis=-1)
+    sorted_p = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(sorted_p, axis=-1)
+
+    last_ind = jnp.sum(cum < tp[:, None], axis=-1, keepdims=True)
+    last_ind = jnp.clip(last_ind, 0, vocab - 1)
+    cutoff_score = jnp.take_along_axis(sorted_scores, last_ind, axis=-1)
+    sorted_remove = sorted_scores > cutoff_score
+    if min_tokens_to_keep > 1:
+        keep = jnp.arange(vocab)[None, :] < min_tokens_to_keep
+        sorted_remove = sorted_remove & ~keep
+
+    active = (tp > 0.0)[:, None]
+    remove = _unsort_mask(sorted_remove, order) & active
+    return jnp.where(remove, filter_value, logits)
+
+
+def repetition_penalty(
+    logits: jnp.ndarray,  # [B, V]
+    tokens: jnp.ndarray,  # [B, T] already-generated token ids
+    penalty: Scalar,
+    tokens_valid: Optional[jnp.ndarray] = None,  # [B, T] bool
+) -> jnp.ndarray:
+    """CTRL-style repetition penalty (reference sampling.py:65-69).
+
+    Logits of already-generated tokens are multiplied by `penalty` when
+    negative and divided when positive. `tokens_valid` masks padding slots
+    of the fixed-shape token buffer (the reference's ragged `tokens` list).
+    """
+    batch, vocab = logits.shape
+    logits = logits.astype(jnp.float32)
+    if tokens_valid is None:
+        tokens_valid = jnp.ones(tokens.shape, dtype=bool)
+
+    appears = jnp.zeros((batch, vocab), dtype=bool)
+    safe_tokens = jnp.clip(tokens, 0, vocab - 1)
+    batch_idx = jnp.arange(batch)[:, None]
+    appears = appears.at[batch_idx, safe_tokens].max(tokens_valid)
+
+    pen = _per_row(penalty, batch)[:, None]
+    penalized = jnp.where(logits < 0, logits * pen, logits / pen)
+    return jnp.where(appears, penalized, logits)
+
+
+def sentence_length_penalty(
+    logits: jnp.ndarray,  # [B, V]
+    stop_token: int,
+    current_length: Scalar,
+    desired_length: int,
+    length_factor: float = 1.0,
+) -> jnp.ndarray:
+    """Scale the stop token's logit by (current_length/desired_length)*factor.
+
+    Implements the documented intent of reference inference.py:59-68 (whose
+    value-vs-index comparison bug makes it a no-op there; see module doc).
+    """
+    batch, vocab = logits.shape
+    logits = logits.astype(jnp.float32)
+    scale = (_per_row(current_length, batch) / desired_length) * length_factor
+    stop_col = logits[:, stop_token] * scale
+    return logits.at[:, stop_token].set(stop_col)
+
+
+def sample_categorical(
+    rng: jax.Array, logits: jnp.ndarray, num_samples: int = 1
+) -> jnp.ndarray:
+    """Multinomial sampling without replacement via the Gumbel-top-k trick.
+
+    Matches torch.multinomial(p, num_samples, replacement=False) in
+    distribution. Returns [B, num_samples] int32.
+    """
+    gumbel = jax.random.gumbel(rng, logits.shape, dtype=jnp.float32)
+    perturbed = logits.astype(jnp.float32) + gumbel
+    _, idx = jax.lax.top_k(perturbed, num_samples)
+    return idx.astype(jnp.int32)

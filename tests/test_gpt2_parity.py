@@ -1,0 +1,102 @@
+"""Numerics parity: our JAX GPT-2 vs HF's torch GPT2LMHeadModel (random
+init, fp32) — the correctness gate for the reference's LM surface
+(reference lms/GPT2.py). Also checks the KV-cached decode path against the
+full-recompute forward.
+"""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from transformers import GPT2Config as HFGPT2Config
+from transformers import GPT2LMHeadModel
+
+from clipcap_tpu.core.config import GPT2Config
+from clipcap_tpu.models import gpt2
+from clipcap_tpu.tools.import_weights import gpt2_from_state_dict
+
+CFG = GPT2Config(vocab_size=128, n_positions=64, n_embd=64, n_layer=3, n_head=4)
+
+
+@pytest.fixture(scope="module")
+def models():
+    torch.manual_seed(0)
+    hf_cfg = HFGPT2Config(
+        vocab_size=CFG.vocab_size,
+        n_positions=CFG.n_positions,
+        n_embd=CFG.n_embd,
+        n_layer=CFG.n_layer,
+        n_head=CFG.n_head,
+        resid_pdrop=0.0,
+        embd_pdrop=0.0,
+        attn_pdrop=0.0,
+        attn_implementation="eager",  # sdpa's fused kernel differs by ~1e-3; eager is the exact oracle
+    )
+    hf = GPT2LMHeadModel(hf_cfg).eval()
+    params = gpt2_from_state_dict(hf.state_dict(), CFG)
+    return hf, params
+
+
+def test_forward_parity_inputs_embeds(models):
+    hf, params = models
+    torch.manual_seed(1)
+    embeds = torch.randn(2, 10, CFG.n_embd)
+    with torch.no_grad():
+        ref = hf(inputs_embeds=embeds).logits.numpy()
+    ours = gpt2.apply(params, CFG, jnp.asarray(embeds.numpy()))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_forward_parity_with_attention_mask(models):
+    hf, params = models
+    torch.manual_seed(2)
+    embeds = torch.randn(2, 8, CFG.n_embd)
+    mask = torch.ones(2, 8, dtype=torch.long)
+    mask[0, 5:] = 0  # right padding like the captioner's -1-padded tokens
+    with torch.no_grad():
+        ref = hf(inputs_embeds=embeds, attention_mask=mask).logits.numpy()
+    ours = gpt2.apply(
+        params, CFG, jnp.asarray(embeds.numpy()), attention_mask=jnp.asarray(mask.numpy())
+    )
+    # padded queries attend nothing real; compare only valid rows
+    np.testing.assert_allclose(np.asarray(ours)[0, :5], ref[0, :5], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours)[1], ref[1], atol=1e-5, rtol=1e-5)
+
+
+def test_token_embedding_lookup(models):
+    hf, params = models
+    tokens = torch.randint(0, CFG.vocab_size, (2, 6))
+    ref = hf.transformer.wte(tokens).detach().numpy()
+    ours = gpt2.embed_tokens(params, jnp.asarray(tokens.numpy()))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6)
+    assert gpt2.embedding_size(params) == CFG.n_embd
+
+
+def test_kv_cache_decode_matches_full_forward(models):
+    _, params = models
+    key = jax.random.PRNGKey(0)
+    embeds = jax.random.normal(key, (2, 12, CFG.n_embd), jnp.float32)
+
+    full = gpt2.apply(params, CFG, embeds)
+
+    cache = gpt2.init_cache(CFG, batch=2, max_len=16)
+    prefill_logits, cache = gpt2.prefill(params, CFG, embeds[:, :8], cache)
+    np.testing.assert_allclose(
+        np.asarray(prefill_logits), np.asarray(full[:, :8]), atol=1e-4, rtol=1e-4
+    )
+    for t in range(8, 12):
+        step_logits, cache = gpt2.decode_step(params, CFG, embeds[:, t : t + 1], cache)
+        np.testing.assert_allclose(
+            np.asarray(step_logits), np.asarray(full[:, t]), atol=1e-4, rtol=1e-4
+        )
+    assert int(cache.index) == 12
+
+
+def test_remat_matches(models):
+    _, params = models
+    embeds = jax.random.normal(jax.random.PRNGKey(3), (1, 7, CFG.n_embd))
+    a = gpt2.apply(params, CFG, embeds, remat=False)
+    b = gpt2.apply(params, CFG, embeds, remat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
