@@ -1,0 +1,126 @@
+"""The compiled training step: loss -> grads -> AutoClip -> AdamW.
+
+Replaces the reference's Lightning training loop plumbing
+(model.py:187-216 training_step + :151-161 configure_gradient_clipping +
+Trainer precision/strategy flags, train.py:275-289) with one pjit'ed
+function: batch sharded over the `data` mesh axis, parameters replicated
+(or ZeRO-sharded), gradient all-reduce and optimizer fusion left to XLA.
+Gradient accumulation (reference acc_grad_batches, train.py:93,288) is a
+lax.scan over a leading micro-batch axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import CaptionerConfig, TrainConfig
+from ..models import captioner
+from .autoclip import AutoClipState, autoclip_init, autoclip_update, fixed_clip
+from .optim import make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    autoclip: AutoClipState
+    step: jnp.ndarray
+
+
+def create_train_state(
+    rng: jax.Array,
+    cap_cfg: CaptionerConfig,
+    lm_cfg: Any,
+    train_cfg: TrainConfig,
+    params: Optional[dict] = None,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    if params is None:
+        params = captioner.init(rng, cap_cfg, lm_cfg)
+    mask = captioner.trainable_filter(params, cap_cfg)
+    tx = make_optimizer(
+        lr=train_cfg.optimizer_lr,
+        warmup_steps=train_cfg.scheduler_warmup_steps,
+        total_steps=train_cfg.total_steps,
+        weight_decay=train_cfg.weight_decay,
+        trainable_mask=mask,
+    )
+    state = TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        autoclip=autoclip_init(train_cfg.autoclip_history),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, tx
+
+
+def make_train_step(
+    cap_cfg: CaptionerConfig,
+    lm_cfg: Any,
+    train_cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted (state, batch) -> (state, metrics) function.
+
+    batch = {"tokens": int [B, T] (-1 padded), "prefix": f32 [B, ...]}.
+    With accumulate_grad_batches > 1, arrays carry a leading [A] axis.
+    """
+
+    def loss_fn(params, tokens, prefix):
+        return captioner.caption_loss(
+            params, cap_cfg, lm_cfg, tokens, prefix, remat=train_cfg.remat
+        )
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def compute_grads(params, batch):
+        if train_cfg.accumulate_grad_batches > 1:
+            def micro(acc, mb):
+                (loss, aux), grads = grad_fn(params, mb["tokens"], mb["prefix"])
+                acc_grads, acc_loss = acc
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                return (acc_grads, acc_loss + loss), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (grads, loss_sum), _ = jax.lax.scan(
+                micro, (zeros, jnp.zeros(())), batch
+            )
+            a = train_cfg.accumulate_grad_batches
+            grads = jax.tree_util.tree_map(lambda g: g / a, grads)
+            return loss_sum / a, grads
+        (loss, aux), grads = grad_fn(params, batch["tokens"], batch["prefix"])
+        return loss, grads
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
+        loss, grads = compute_grads(state.params, batch)
+
+        if train_cfg.gradient_clip_val < 0:
+            grads, ac_state, clip_metrics = autoclip_update(
+                state.autoclip, grads, train_cfg.autoclip_percentile
+            )
+        else:
+            grads, pre_norm = fixed_clip(grads, train_cfg.gradient_clip_val)
+            ac_state = state.autoclip
+            clip_metrics = {"grad_norm_pre_clip": pre_norm}
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            autoclip=ac_state,
+            step=state.step + 1,
+        )
+        metrics = {"loss": loss, "step": state.step, **clip_metrics}
+        return new_state, metrics
+
+    # Sharding follows the data: the caller lays out state (replicated or
+    # ZeRO via parallel.shard_params) and batch (data-axis via
+    # core.mesh.shard_batch); jit propagates those layouts and XLA inserts
+    # the collectives. Donation reuses the old state's buffers in place.
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,107 @@
+"""The training loop: host-side orchestration around the compiled step.
+
+What pl.Trainer did for the reference (train.py:275-292): epochs, periodic
+validation via a CaptionValidator, checkpoint callbacks, metric logging.
+Host work is only batch staging (device_put with data-axis sharding) and
+logging; everything else is inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..core.config import CaptionerConfig, TrainConfig
+from ..core.mesh import make_mesh, shard_batch, MeshSpec
+from ..utils.logging import MetricLogger
+from .checkpoints import CheckpointSaver
+from .train_step import TrainState, create_train_state, make_train_step
+
+
+def fit(
+    state: TrainState,
+    tx,
+    cap_cfg: CaptionerConfig,
+    lm_cfg: Any,
+    train_cfg: TrainConfig,
+    data_iter: Iterable,  # yields {"tokens": [B,T] int64, "prefix": f32}
+    steps_per_epoch: int,
+    mesh=None,
+    validator=None,  # eval.validator.CaptionValidator protocol
+    validation_data: Optional[Iterable] = None,
+    checkpoint_saver: Optional[CheckpointSaver] = None,
+    logger: Optional[MetricLogger] = None,
+    validate_fn: Optional[Callable] = None,
+) -> TrainState:
+    if mesh is None:
+        mesh = make_mesh(MeshSpec(data=len(jax.devices()), model=1))
+    logger = logger or MetricLogger()
+    step_fn = make_train_step(cap_cfg, lm_cfg, train_cfg, tx, mesh=mesh)
+
+    it = iter(data_iter)
+    global_step = int(jax.device_get(state.step))
+    t_last = time.time()
+
+    for epoch in range(train_cfg.epochs):
+        for _ in range(steps_per_epoch):
+            tokens, prefix = _as_batch(next(it))
+            batch = shard_batch(mesh, {"tokens": tokens, "prefix": prefix})
+            state, metrics = step_fn(state, batch)
+            global_step += 1
+
+            if global_step % train_cfg.log_every_n_steps == 0:
+                m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                now = time.time()
+                m["steps_per_sec"] = train_cfg.log_every_n_steps / max(now - t_last, 1e-9)
+                m["epoch"] = epoch
+                t_last = now
+                logger.log(m, step=global_step)
+
+            if checkpoint_saver is not None:
+                checkpoint_saver.on_step(
+                    global_step, state, cap_cfg=cap_cfg, lm_cfg=lm_cfg, train_cfg=train_cfg
+                )
+
+            if (
+                validate_fn is not None
+                and train_cfg.validation_interval > 0
+                and global_step % int(train_cfg.validation_interval) == 0
+            ):
+                results = validate_fn(state)
+                logger.log({f"val/{k}": v for k, v in _flatten(results).items()},
+                           step=global_step)
+
+        if checkpoint_saver is not None:
+            checkpoint_saver.on_epoch_end(
+                epoch, state, cap_cfg=cap_cfg, lm_cfg=lm_cfg, train_cfg=train_cfg
+            )
+
+    if checkpoint_saver is not None:
+        checkpoint_saver.save_final(
+            state, cap_cfg=cap_cfg, lm_cfg=lm_cfg, train_cfg=train_cfg
+        )
+    return state
+
+
+def _as_batch(item):
+    """Accept (tokens, prefixes) tuples (TokenPrefixDataset) or dicts."""
+    if isinstance(item, dict):
+        return np.asarray(item["tokens"]), np.asarray(item["prefix"])
+    tokens, prefix = item
+    return np.asarray(tokens), np.asarray(prefix)
+
+
+def _flatten(d, prefix=""):
+    out = {}
+    if not isinstance(d, dict):
+        return {prefix or "value": d}
+    for k, v in d.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        elif isinstance(v, (int, float, np.floating, np.integer)):
+            out[key] = float(v)
+    return out
