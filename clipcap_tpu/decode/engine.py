@@ -71,12 +71,16 @@ def generate(
     lm: Any,  # LM module implementing the lm/registry protocol
     params: dict,
     lm_cfg: Any,
-    prompt_embeds: jnp.ndarray,  # [B, P, D] prefix (+ text-prefix) embeddings
+    prompt_embeds: jnp.ndarray,  # [B, P, D] embeddings — or [B, P] token ids
     settings: GenerationSettings,
     rng: Optional[jax.Array] = None,
     prompt_tokens: Optional[jnp.ndarray] = None,  # [B, Tp] fed to rep-penalty
 ) -> dict:
     """Generate settings.max_new_tokens tokens after prompt_embeds.
+
+    When `lm.takes_token_ids` is set (e.g. the BLIP decoder adapter, whose
+    embedding layer owns positions+LayerNorm), `prompt_embeds` is a [B, P]
+    int array of token ids and each step feeds ids instead of embeddings.
 
     Returns dict with:
       tokens      [B, N] int32 (pad_token_id after a row stops)
@@ -85,7 +89,8 @@ def generate(
       eos_logprob [B, N] raw log P(eos) per step (Gen-B stat,
                   reference sampling.py:228-235) — present iff eos_token_id.
     """
-    b, p_len, _ = prompt_embeds.shape
+    token_mode = bool(getattr(lm, "takes_token_ids", False))
+    b, p_len = prompt_embeds.shape[:2]
     n = settings.max_new_tokens
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -104,7 +109,8 @@ def generate(
         hist = hist.at[:, :n_prompt_tok].set(prompt_tokens.astype(jnp.int32))
         hist_valid = hist_valid.at[:, :n_prompt_tok].set(True)
 
-    cache = lm.init_cache(lm_cfg, batch=b, max_len=p_len + n, dtype=prompt_embeds.dtype)
+    cache_dtype = jnp.float32 if token_mode else prompt_embeds.dtype
+    cache = lm.init_cache(lm_cfg, batch=b, max_len=p_len + n, dtype=cache_dtype)
     prefill_logits, cache = lm.prefill(params, lm_cfg, prompt_embeds, cache)
     last_logits = prefill_logits[:, -1].astype(jnp.float32)
 
@@ -186,10 +192,13 @@ def generate(
         newly_live = ~stopped
         stopped = stopped | completed
 
-        embed_next = lm.embed_tokens(params, emitted)[:, None, :].astype(
-            prompt_embeds.dtype
-        )
-        logits_next, cache = lm.decode_step(params, lm_cfg, embed_next, cache)
+        if token_mode:
+            step_in = emitted[:, None]
+        else:
+            step_in = lm.embed_tokens(params, emitted)[:, None, :].astype(
+                prompt_embeds.dtype
+            )
+        logits_next, cache = lm.decode_step(params, lm_cfg, step_in, cache)
 
         out = (emitted, newly_live, eos_lp)
         return (cache, logits_next.astype(jnp.float32), hist, hist_valid, stopped, new_stops, rng), out

@@ -1,0 +1,117 @@
+"""Gen-B batched heterogeneous caption sampling (the reference's sampling.py).
+
+Rebuilds `sample()` (reference sampling.py:283-326) TPU-first:
+
+- the BLIP visual encoder runs once per image; image token features are
+  repeat_interleave'd `sample_count` times (reference :286-288);
+- the prompt ("a picture of ") is tokenized once, its first token replaced
+  by BOS and its end token dropped (reference :294-298);
+- generation runs through decode/engine.generate with *per-sample*
+  top_p/top_k/typ_p/min_length/max_length vectors, min-length EOS
+  suppression, repetition penalty, force-EOS early stop and
+  alternate-token continuation — one fixed-shape lax.scan instead of the
+  reference's dynamic batch-shrinking Python loop (:252-268);
+- `num_runs` outer loop and caption dedup happen on the host (:313-326).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import BlipTextConfig
+from ..models import blip_text
+from .engine import GenerationSettings, generate
+
+
+def sample(
+    image_embeds: jnp.ndarray,  # [B, Tv, D] BLIP ViT tokens (visual_encoder output)
+    text_params: dict,
+    text_cfg: BlipTextConfig,
+    tokenizer,  # WordPiece wrapper: encode/decode, bos/sep ids
+    sample_count: int = 3,
+    top_p=0.0,
+    top_k=0.0,
+    typ_p=0.0,
+    min_len=0,
+    max_len=32,
+    repetition_penalty: float = 1.3,
+    force_eos_log_prob: float = math.log(0.9),
+    min_alternate_prob: float = 0.0,
+    prompt: str = "a picture of ",
+    unique: bool = True,
+    num_runs: int = 1,
+    rng: Optional[jax.Array] = None,
+):
+    """Returns (captions, parameters, stats) like reference sampling.py:283.
+
+    parameters[i] = [min_len, max_len, top_p] of candidate i;
+    stats[i] = {"eos_prob": per-step raw log P(eos), "tokens": token ids}.
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    batch = image_embeds.shape[0]
+    total = batch * sample_count
+
+    # repeat image features per sample (reference :288)
+    img = jnp.repeat(image_embeds, sample_count, axis=0)
+    img_mask = jnp.ones(img.shape[:-1], jnp.int32)
+
+    bos = tokenizer.bos_token_id
+    eos = tokenizer.sep_token_id
+    prompt_ids = tokenizer.encode(prompt)
+    prompt_ids = [bos] + prompt_ids[1:-1] if prompt_ids else [bos]
+    prompt_arr = jnp.asarray(np.tile(np.asarray(prompt_ids, np.int32), (total, 1)))
+    n_prompt = prompt_arr.shape[1]
+
+    def per_sample(x, dtype=jnp.float32):
+        x = jnp.asarray(x, dtype)
+        if x.ndim == 0:
+            return jnp.broadcast_to(x, (total,))
+        # one value per sample slot, tiled over images
+        return jnp.tile(x.reshape(-1), batch)[:total]
+
+    max_len_v = per_sample(max_len, jnp.int32)
+    settings = GenerationSettings(
+        max_new_tokens=int(jax.device_get(jnp.max(max_len_v))) + 1,
+        top_p=per_sample(top_p),
+        top_k=per_sample(top_k),
+        typ_p=per_sample(typ_p),
+        repetition_penalty=repetition_penalty,
+        eos_token_id=int(eos),
+        min_length=per_sample(min_len, jnp.int32),
+        max_length=max_len_v,
+        force_eos_log_prob=float(force_eos_log_prob),
+        min_alternate_prob=float(min_alternate_prob),
+        pad_token_id=0,
+    )
+
+    lm = blip_text.decoder_lm(text_params, text_cfg, img, img_mask)
+
+    captions, parameters, stats = [], [], []
+    for run in range(num_runs):
+        rng, run_rng = jax.random.split(rng)
+        out = generate(lm, text_params, text_cfg, prompt_arr, settings,
+                       rng=run_rng, prompt_tokens=prompt_arr)
+        tokens = np.asarray(jax.device_get(out["tokens"]))
+        lengths = np.asarray(jax.device_get(out["lengths"]))
+        eos_lp = np.asarray(jax.device_get(out["eos_logprob"]))
+        min_v = np.asarray(jax.device_get(settings.min_length))
+        max_v = np.asarray(jax.device_get(settings.max_length))
+        top_p_v = np.asarray(jax.device_get(settings.top_p))
+
+        for i in range(total):
+            ids = [int(t) for t in tokens[i][: lengths[i]]]
+            # drop the eos itself from the text
+            text_ids = [t for t in ids if t != eos]
+            caption = tokenizer.decode(text_ids)
+            if unique and caption in captions:
+                continue
+            captions.append(caption)
+            parameters.append([int(min_v[i]), int(max_v[i]), float(top_p_v[i])])
+            stats.append({"eos_prob": eos_lp[i][: lengths[i]], "tokens": ids})
+    return captions, parameters, stats

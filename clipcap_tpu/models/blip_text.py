@@ -1,0 +1,277 @@
+"""BLIP's BERT-style text model: decoder (caption sampling) + encoder
+(ITM/ITC ranking), with cross-attention to image features.
+
+Capability-equivalent of the non-vendored BLIP text stack the reference
+drives in Gen B: `blip_model.text_decoder` in the batched heterogeneous
+sampler (reference sampling.py:166-279, :283-326) and the ITM/ITC text
+encoder used for ranking (reference sampling.py:40-62). Post-LN BERT
+blocks (LayerNorm after each residual, eps 1e-12), learned absolute
+positions applied at the embedding layer, gelu MLP, optional per-layer
+cross-attention whose K/V come from the ViT tokens, and an MLM-style LM
+head. Numerics match HF's BlipTextLMHeadModel in fp32
+(tests/test_blip_text_parity.py).
+
+For KV-cached generation use `decoder_lm(...)`, which closes over the
+image features and exposes the framework LM protocol (lm/registry.py) so
+decode/engine.py and decode/hetero.py drive BLIP exactly like GPT-2.
+"""
+
+from __future__ import annotations
+
+import functools
+from types import SimpleNamespace
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import BlipTextConfig
+from ..ops.activations import gelu_exact
+from ..ops.attention import NEG_INF
+from ..ops.layernorm import layer_norm
+
+
+def init(rng: jax.Array, cfg: BlipTextConfig, dtype=jnp.float32) -> dict:
+    d, l, f = cfg.hidden_size, cfg.num_layers, cfg.intermediate_size
+    ew = cfg.encoder_width
+    keys = jax.random.split(rng, 12)
+    std = 0.02
+
+    def n(key, shape, s=std):
+        return jax.random.normal(key, shape, dtype) * s
+
+    def attn(key, kv_width):
+        ks = jax.random.split(key, 4)
+        return {
+            "wq": n(ks[0], (l, d, d)), "bq": jnp.zeros((l, d), dtype),
+            "wk": n(ks[1], (l, kv_width, d)), "bk": jnp.zeros((l, d), dtype),
+            "wv": n(ks[2], (l, kv_width, d)), "bv": jnp.zeros((l, d), dtype),
+            "wo": n(ks[3], (l, d, d)), "bo": jnp.zeros((l, d), dtype),
+            "ln": {"g": jnp.ones((l, d), dtype), "b": jnp.zeros((l, d), dtype)},
+        }
+
+    blocks = {
+        "self": attn(keys[0], d),
+        "cross": attn(keys[1], ew),
+        "mlp": {
+            "w1": n(keys[2], (l, d, f)), "b1": jnp.zeros((l, f), dtype),
+            "w2": n(keys[3], (l, f, d)), "b2": jnp.zeros((l, d), dtype),
+            "ln": {"g": jnp.ones((l, d), dtype), "b": jnp.zeros((l, d), dtype)},
+        },
+    }
+    return {
+        "word_embeddings": n(keys[4], (cfg.vocab_size, d)),
+        "position_embeddings": n(keys[5], (cfg.max_position_embeddings, d)),
+        "emb_ln": {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
+        "blocks": blocks,
+        "cls": {
+            "transform": {"w": n(keys[6], (d, d)), "b": jnp.zeros((d,), dtype)},
+            "transform_ln": {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
+            "decoder": {"w": n(keys[7], (d, cfg.vocab_size)), "b": jnp.zeros((cfg.vocab_size,), dtype)},
+        },
+    }
+
+
+def _post_ln_attention(h_q, kv, attn_p, heads: int, bias, eps: float):
+    """BERT attention sublayer: attn -> dense -> residual -> LayerNorm."""
+    b, tq, d = h_q.shape
+    tk = kv.shape[1]
+    dh = d // heads
+    q = (jnp.dot(h_q, attn_p["wq"]) + attn_p["bq"]).reshape(b, tq, heads, dh)
+    k = (jnp.dot(kv, attn_p["wk"]) + attn_p["bk"]).reshape(b, tk, heads, dh)
+    v = (jnp.dot(kv, attn_p["wv"]) + attn_p["bv"]).reshape(b, tk, heads, dh)
+    return _finish_attention(h_q, q, k, v, attn_p, bias, eps)
+
+
+def _finish_attention(h_q, q, k, v, attn_p, bias, eps):
+    b, tq, heads, dh = q.shape
+    d = heads * dh
+    logits = (
+        jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        * (dh**-0.5)
+    )
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, tq, d)
+    out = jnp.dot(out, attn_p["wo"]) + attn_p["bo"]
+    return layer_norm(h_q + out, attn_p["ln"]["g"], attn_p["ln"]["b"], eps=eps)
+
+
+def _ffn(x, mlp, eps: float):
+    h = gelu_exact(jnp.dot(x, mlp["w1"]) + mlp["b1"])
+    h = jnp.dot(h, mlp["w2"]) + mlp["b2"]
+    return layer_norm(x + h, mlp["ln"]["g"], mlp["ln"]["b"], eps=eps)
+
+
+def embeddings(params: dict, cfg: BlipTextConfig, tokens: jnp.ndarray,
+               position_offset=0) -> jnp.ndarray:
+    t = tokens.shape[1]
+    pos = position_offset + jnp.arange(t)
+    x = params["word_embeddings"][tokens] + jnp.take(
+        params["position_embeddings"], pos, axis=0
+    )[None]
+    return layer_norm(x, params["emb_ln"]["g"], params["emb_ln"]["b"],
+                      eps=cfg.layer_norm_epsilon)
+
+
+def apply(
+    params: dict,
+    cfg: BlipTextConfig,
+    tokens: jnp.ndarray,  # [B, T]
+    attention_mask: Optional[jnp.ndarray] = None,
+    encoder_hidden_states: Optional[jnp.ndarray] = None,  # [B, Tv, encoder_width]
+    encoder_attention_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    with_lm_head: bool = False,
+) -> jnp.ndarray:
+    """Full forward. encoder_hidden_states=None -> text-only (ITC mode);
+    causal=True -> decoder mode (caption generation teacher-forcing)."""
+    b, t = tokens.shape
+    x = embeddings(params, cfg, tokens)
+
+    bias = jnp.zeros((1, 1, t, t), jnp.float32)
+    if causal:
+        qi = jnp.arange(t)[:, None]
+        ki = jnp.arange(t)[None, :]
+        bias = bias + jnp.where(ki <= qi, 0.0, NEG_INF)[None, None]
+    if attention_mask is not None:
+        bias = bias + jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
+
+    cross_bias = None
+    if encoder_attention_mask is not None:
+        cross_bias = jnp.where(
+            encoder_attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
+        )
+
+    eps = cfg.layer_norm_epsilon
+
+    def body(x, layer):
+        x = _post_ln_attention(x, x, layer["self"], cfg.num_heads, bias, eps)
+        if encoder_hidden_states is not None:
+            x = _post_ln_attention(
+                x, encoder_hidden_states, layer["cross"], cfg.num_heads, cross_bias, eps
+            )
+        x = _ffn(x, layer["mlp"], eps)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    if with_lm_head:
+        return lm_logits(params, cfg, x)
+    return x
+
+
+def lm_logits(params: dict, cfg: BlipTextConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """MLM-style head: dense -> gelu -> LayerNorm -> decoder matmul."""
+    h = gelu_exact(jnp.dot(hidden, params["cls"]["transform"]["w"]) + params["cls"]["transform"]["b"])
+    h = layer_norm(h, params["cls"]["transform_ln"]["g"], params["cls"]["transform_ln"]["b"],
+                   eps=cfg.layer_norm_epsilon)
+    return jnp.dot(h, params["cls"]["decoder"]["w"]) + params["cls"]["decoder"]["b"]
+
+
+# ---------------------------------------------------------------------------
+# KV-cached decoding (the Gen-B sampler's hot path)
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [L, B, maxT, H, Dh] self-attn keys
+    v: jnp.ndarray
+    cross_k: jnp.ndarray  # [L, B, Tv, H, Dh] precomputed from image tokens
+    cross_v: jnp.ndarray
+    cross_bias: Optional[jnp.ndarray]
+    index: jnp.ndarray
+
+
+def _precompute_cross(params, cfg: BlipTextConfig, encoder_hidden_states):
+    b, tv, _ = encoder_hidden_states.shape
+    h, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+
+    def per_layer(_, layer):
+        k = (jnp.dot(encoder_hidden_states, layer["cross"]["wk"]) + layer["cross"]["bk"])
+        v = (jnp.dot(encoder_hidden_states, layer["cross"]["wv"]) + layer["cross"]["bv"])
+        return None, (k.reshape(b, tv, h, dh), v.reshape(b, tv, h, dh))
+
+    _, (ck, cv) = jax.lax.scan(per_layer, None, params["blocks"])
+    return ck, cv
+
+
+def _forward_cached(params, cfg: BlipTextConfig, tokens, cache: KVCache):
+    b, t = tokens.shape
+    heads, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+    max_len = cache.k.shape[2]
+    idx = cache.index
+    eps = cfg.layer_norm_epsilon
+
+    x = embeddings(params, cfg, tokens, position_offset=idx)
+
+    qpos = idx + jnp.arange(t)[:, None]
+    kpos = jnp.arange(max_len)[None, :]
+    bias = jnp.where(kpos <= qpos, 0.0, NEG_INF)[None, None]
+
+    def body(x, xs):
+        layer, k_c, v_c, ck, cv = xs
+        h_q = x
+        q = (jnp.dot(h_q, layer["self"]["wq"]) + layer["self"]["bq"]).reshape(b, t, heads, dh)
+        k = (jnp.dot(h_q, layer["self"]["wk"]) + layer["self"]["bk"]).reshape(b, t, heads, dh)
+        v = (jnp.dot(h_q, layer["self"]["wv"]) + layer["self"]["bv"]).reshape(b, t, heads, dh)
+        k_c = jax.lax.dynamic_update_slice(k_c, k.astype(k_c.dtype), (0, idx, 0, 0))
+        v_c = jax.lax.dynamic_update_slice(v_c, v.astype(v_c.dtype), (0, idx, 0, 0))
+        x = _finish_attention(x, q, k_c, v_c, layer["self"], bias, eps)
+        # cross-attention with precomputed K/V
+        q2 = (jnp.dot(x, layer["cross"]["wq"]) + layer["cross"]["bq"]).reshape(b, t, heads, dh)
+        x = _finish_attention(x, q2, ck, cv, layer["cross"], cache.cross_bias, eps)
+        x = _ffn(x, layer["mlp"], eps)
+        return x, (k_c, v_c)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v)
+    )
+    logits = lm_logits(params, cfg, x)
+    return logits, cache._replace(k=new_k, v=new_v, index=idx + t)
+
+
+def decoder_lm(
+    params: dict,
+    cfg: BlipTextConfig,
+    encoder_hidden_states: jnp.ndarray,
+    encoder_attention_mask: Optional[jnp.ndarray] = None,
+):
+    """Adapter exposing the framework LM protocol over (params, image feats).
+
+    BERT applies positions + LayerNorm inside its embedding layer, so this
+    adapter's prefill/decode_step take raw token ids ([B, T] int) instead
+    of embeddings; `takes_token_ids=True` tells decode/engine.generate()
+    to feed ids. Cross-attention K/V are precomputed here once from the
+    image tokens (the reference recomputes them every generated token,
+    sampling.py:193).
+    """
+    ck, cv = _precompute_cross(params, cfg, encoder_hidden_states)
+    cross_bias = None
+    if encoder_attention_mask is not None:
+        cross_bias = jnp.where(
+            encoder_attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
+        )
+
+    def init_cache(cfg_, batch, max_len, dtype=jnp.float32):
+        l, h, dh = cfg.num_layers, cfg.num_heads, cfg.hidden_size // cfg.num_heads
+        shape = (l, batch, max_len, h, dh)
+        return KVCache(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            cross_k=ck.astype(dtype), cross_v=cv.astype(dtype),
+            cross_bias=cross_bias, index=jnp.zeros((), jnp.int32),
+        )
+
+    def prefill(params_, cfg_, token_ids, cache):
+        return _forward_cached(params, cfg, token_ids, cache)
+
+    def decode_step(params_, cfg_, token_ids, cache):
+        logits, cache = _forward_cached(params, cfg, token_ids, cache)
+        return logits[:, -1], cache
+
+    return SimpleNamespace(
+        init_cache=init_cache,
+        prefill=prefill,
+        decode_step=decode_step,
+        takes_token_ids=True,
+    )

@@ -1,0 +1,334 @@
+"""T5 / T0 encoder-decoder (RMSNorm, relative-position buckets).
+
+Capability-equivalent of the reference's T0 wrapper (lms/T0.py:6-20,
+default bigscience/T0pp). The reference's `call` feeds the projected
+prefix embeddings to BOTH the encoder and the decoder
+(`decoder_inputs_embeds=inputs_embeds`, lms/T0.py:19) — `apply` here
+reproduces exactly that contract, and the cached decode path encodes the
+prompt once (prefill) then extends only the decoder with cached self-attn
+K/V and precomputed cross-attn K/V (the reference recomputes the entire
+encoder+decoder per generated token).
+
+Numerics match HF T5ForConditionalGeneration in fp32
+(tests/test_t5_parity.py): unscaled attention (T5 bakes the scale into
+init), relative-attention bias only from layer 0's embedding table
+(shared by all layers of a stack), RMSNorm with pre-scaling cast, and the
+d_model**-0.5 logit rescale when embeddings are tied.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import T5Config
+from ..ops.activations import gelu_new
+from ..ops.attention import NEG_INF
+from ..ops.layernorm import rms_norm
+
+
+# ---------------------------------------------------------------------------
+# relative position buckets (HF T5Attention._relative_position_bucket)
+# ---------------------------------------------------------------------------
+
+
+def _relative_position_bucket(rel_pos, bidirectional: bool, num_buckets: int, max_distance: int):
+    ret = jnp.zeros_like(rel_pos)
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + (rel_pos > 0).astype(jnp.int32) * num_buckets
+        rel_pos = jnp.abs(rel_pos)
+    else:
+        rel_pos = -jnp.minimum(rel_pos, 0)
+    max_exact = num_buckets // 2
+    is_small = rel_pos < max_exact
+    # guard log(0) for the is_small rows (discarded by the where below);
+    # values >= max_exact are untouched, so the bucket matches HF exactly
+    safe_rel = jnp.maximum(rel_pos, 1).astype(jnp.float32)
+    rel_large = max_exact + (
+        jnp.log(safe_rel / max_exact)
+        / jnp.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    rel_large = jnp.minimum(rel_large, num_buckets - 1)
+    return ret + jnp.where(is_small, rel_pos, rel_large)
+
+
+def _position_bias(rel_table, qpos, kpos, bidirectional: bool, cfg: T5Config):
+    """rel_table [num_buckets, H]; qpos [Tq], kpos [Tk] -> bias [1, H, Tq, Tk]."""
+    rel = kpos[None, :] - qpos[:, None]
+    buckets = _relative_position_bucket(
+        rel, bidirectional, cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance,
+    )
+    bias = rel_table[buckets]  # [Tq, Tk, H]
+    return bias.transpose(2, 0, 1)[None]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _attn_init(key, d_model, inner, dtype):
+    ks = jax.random.split(key, 4)
+
+    def n(k, shape, s):
+        return jax.random.normal(k, shape, dtype) * s
+
+    return {
+        "wq": n(ks[0], (d_model, inner), (d_model * inner) ** -0.25),
+        "wk": n(ks[1], (d_model, inner), d_model**-0.5),
+        "wv": n(ks[2], (d_model, inner), d_model**-0.5),
+        "wo": n(ks[3], (inner, d_model), inner**-0.5),
+    }
+
+
+def _mlp_init(key, cfg: T5Config, dtype):
+    ks = jax.random.split(key, 3)
+    d, f = cfg.d_model, cfg.d_ff
+
+    def n(k, shape, s):
+        return jax.random.normal(k, shape, dtype) * s
+
+    p = {"wi_0": n(ks[0], (d, f), d**-0.5), "wo": n(ks[2], (f, d), f**-0.5)}
+    if cfg.feed_forward_proj == "gated-gelu":
+        p["wi_1"] = n(ks[1], (d, f), d**-0.5)
+    return p
+
+
+def init(rng: jax.Array, cfg: T5Config, dtype=jnp.float32) -> dict:
+    inner = cfg.num_heads * cfg.d_kv
+    d = cfg.d_model
+    keys = jax.random.split(rng, 8)
+
+    def stack_layers(key, n, make):
+        layers = [make(k) for k in jax.random.split(key, n)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+    def enc_layer(k):
+        k1, k2 = jax.random.split(k)
+        return {
+            "ln1": {"g": jnp.ones((d,), dtype)},
+            "attn": _attn_init(k1, d, inner, dtype),
+            "ln2": {"g": jnp.ones((d,), dtype)},
+            "mlp": _mlp_init(k2, cfg, dtype),
+        }
+
+    def dec_layer(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        return {
+            "ln1": {"g": jnp.ones((d,), dtype)},
+            "self_attn": _attn_init(k1, d, inner, dtype),
+            "ln2": {"g": jnp.ones((d,), dtype)},
+            "cross_attn": _attn_init(k2, d, inner, dtype),
+            "ln3": {"g": jnp.ones((d,), dtype)},
+            "mlp": _mlp_init(k3, cfg, dtype),
+        }
+
+    params = {
+        "shared": jax.random.normal(keys[0], (cfg.vocab_size, d), dtype),
+        "encoder": {
+            "blocks": stack_layers(keys[1], cfg.num_layers, enc_layer),
+            "rel_bias": jax.random.normal(
+                keys[2], (cfg.relative_attention_num_buckets, cfg.num_heads), dtype
+            ) * (d // cfg.num_heads) ** -0.5,
+            "ln_f": {"g": jnp.ones((d,), dtype)},
+        },
+        "decoder": {
+            "blocks": stack_layers(keys[3], cfg.num_decoder_layers, dec_layer),
+            "rel_bias": jax.random.normal(
+                keys[4], (cfg.relative_attention_num_buckets, cfg.num_heads), dtype
+            ) * (d // cfg.num_heads) ** -0.5,
+            "ln_f": {"g": jnp.ones((d,), dtype)},
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"w": jax.random.normal(keys[5], (d, cfg.vocab_size), dtype) * d**-0.5}
+    return params
+
+
+def embed_tokens(params: dict, tokens: jnp.ndarray) -> jnp.ndarray:
+    return params["shared"][tokens]
+
+
+def embedding_size(params: dict) -> int:
+    return params["shared"].shape[1]
+
+
+# ---------------------------------------------------------------------------
+# forward pieces
+# ---------------------------------------------------------------------------
+
+
+def _attend(h_q, h_kv, attn, num_heads: int, d_kv: int, bias):
+    """Unscaled T5 attention. h_q [B,Tq,D], h_kv [B,Tk,D], bias [.,H,Tq,Tk]."""
+    b, tq, _ = h_q.shape
+    tk = h_kv.shape[1]
+    q = jnp.dot(h_q, attn["wq"]).reshape(b, tq, num_heads, d_kv)
+    k = jnp.dot(h_kv, attn["wk"]).reshape(b, tk, num_heads, d_kv)
+    v = jnp.dot(h_kv, attn["wv"]).reshape(b, tk, num_heads, d_kv)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, tq, num_heads * d_kv)
+    return jnp.dot(out, attn["wo"])
+
+
+def _mlp(h, mlp, cfg: T5Config):
+    if cfg.feed_forward_proj == "gated-gelu":
+        gate = gelu_new(jnp.dot(h, mlp["wi_0"]))
+        h = gate * jnp.dot(h, mlp["wi_1"])
+    else:
+        h = jax.nn.relu(jnp.dot(h, mlp["wi_0"]))
+    return jnp.dot(h, mlp["wo"])
+
+
+def _encode(params, cfg: T5Config, embeds, attention_mask):
+    b, t, d = embeds.shape
+    pos = jnp.arange(t)
+    bias = _position_bias(params["encoder"]["rel_bias"], pos, pos, True, cfg)
+    if attention_mask is not None:
+        bias = bias + jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
+
+    def body(x, layer):
+        h = rms_norm(x, layer["ln1"]["g"], eps=cfg.layer_norm_epsilon)
+        x = x + _attend(h, h, layer["attn"], cfg.num_heads, cfg.d_kv, bias)
+        h = rms_norm(x, layer["ln2"]["g"], eps=cfg.layer_norm_epsilon)
+        x = x + _mlp(h, layer["mlp"], cfg)
+        return x, None
+
+    x, _ = jax.lax.scan(body, embeds, params["encoder"]["blocks"])
+    return rms_norm(x, params["encoder"]["ln_f"]["g"], eps=cfg.layer_norm_epsilon)
+
+
+def _decode_stack(params, cfg, dec_embeds, enc_hidden, enc_mask, self_bias, cross_bias):
+    def body(x, layer):
+        h = rms_norm(x, layer["ln1"]["g"], eps=cfg.layer_norm_epsilon)
+        x = x + _attend(h, h, layer["self_attn"], cfg.num_heads, cfg.d_kv, self_bias)
+        h = rms_norm(x, layer["ln2"]["g"], eps=cfg.layer_norm_epsilon)
+        x = x + _attend(h, enc_hidden, layer["cross_attn"], cfg.num_heads, cfg.d_kv, cross_bias)
+        h = rms_norm(x, layer["ln3"]["g"], eps=cfg.layer_norm_epsilon)
+        x = x + _mlp(h, layer["mlp"], cfg)
+        return x, None
+
+    x, _ = jax.lax.scan(body, dec_embeds, params["decoder"]["blocks"])
+    return rms_norm(x, params["decoder"]["ln_f"]["g"], eps=cfg.layer_norm_epsilon)
+
+
+def _lm_logits(params, cfg: T5Config, x):
+    if cfg.tie_word_embeddings:
+        x = x * (cfg.d_model**-0.5)
+        return jnp.dot(x, params["shared"].T)
+    return jnp.dot(x, params["lm_head"]["w"])
+
+
+def apply(
+    params: dict,
+    cfg: T5Config,
+    inputs_embeds: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    decoder_inputs_embeds: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """The reference T0 `call` contract (lms/T0.py:19): the same embeds go
+    to encoder and decoder unless decoder_inputs_embeds is given."""
+    if decoder_inputs_embeds is None:
+        decoder_inputs_embeds = inputs_embeds
+    enc_hidden = _encode(params, cfg, inputs_embeds, attention_mask)
+
+    t = decoder_inputs_embeds.shape[1]
+    pos = jnp.arange(t)
+    self_bias = _position_bias(params["decoder"]["rel_bias"], pos, pos, False, cfg)
+    causal = jnp.where(pos[None, :] <= pos[:, None], 0.0, NEG_INF)[None, None]
+    self_bias = self_bias + causal
+    cross_bias = None
+    if attention_mask is not None:
+        cross_bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
+
+    x = _decode_stack(params, cfg, decoder_inputs_embeds, enc_hidden,
+                      attention_mask, self_bias, cross_bias)
+    return _lm_logits(params, cfg, x)
+
+
+# ---------------------------------------------------------------------------
+# cached decode (encoder runs once; decoder self-attn KV cached)
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [L, B, maxT, H, Dkv] decoder self-attn keys
+    v: jnp.ndarray
+    enc_hidden: jnp.ndarray  # [B, Te, D]
+    enc_bias: Optional[jnp.ndarray]  # [B, 1, 1, Te] cross-attn mask or None
+    index: jnp.ndarray
+
+
+def init_cache(cfg: T5Config, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
+    l, h, dkv = cfg.num_decoder_layers, cfg.num_heads, cfg.d_kv
+    shape = (l, batch, max_len, h, dkv)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        enc_hidden=jnp.zeros((batch, 1, cfg.d_model), dtype),  # filled by prefill
+        enc_bias=None,
+        index=jnp.zeros((), jnp.int32),
+    )
+
+
+def _decoder_cached(params, cfg: T5Config, dec_embeds, cache: KVCache):
+    b, t, d = dec_embeds.shape
+    max_len = cache.k.shape[2]
+    idx = cache.index
+    qpos = idx + jnp.arange(t)
+    kpos = jnp.arange(max_len)
+    self_bias = _position_bias(params["decoder"]["rel_bias"], qpos, kpos, False, cfg)
+    causal = jnp.where(kpos[None, :] <= qpos[:, None], 0.0, NEG_INF)[None, None]
+    self_bias = self_bias + causal
+
+    def body(x, xs):
+        layer, k_c, v_c = xs
+        h = rms_norm(x, layer["ln1"]["g"], eps=cfg.layer_norm_epsilon)
+        q = jnp.dot(h, layer["self_attn"]["wq"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
+        k = jnp.dot(h, layer["self_attn"]["wk"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
+        v = jnp.dot(h, layer["self_attn"]["wv"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
+        k_c = jax.lax.dynamic_update_slice(k_c, k.astype(k_c.dtype), (0, idx, 0, 0))
+        v_c = jax.lax.dynamic_update_slice(v_c, v.astype(v_c.dtype), (0, idx, 0, 0))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_c, preferred_element_type=jnp.float32)
+        logits = logits + self_bias.astype(jnp.float32)
+        w = jax.nn.softmax(logits, axis=-1).astype(v_c.dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", w, v_c).reshape(b, t, -1)
+        x = x + jnp.dot(attn, layer["self_attn"]["wo"])
+
+        h = rms_norm(x, layer["ln2"]["g"], eps=cfg.layer_norm_epsilon)
+        x = x + _attend(h, cache.enc_hidden, layer["cross_attn"], cfg.num_heads,
+                        cfg.d_kv, cache.enc_bias)
+        h = rms_norm(x, layer["ln3"]["g"], eps=cfg.layer_norm_epsilon)
+        x = x + _mlp(h, layer["mlp"], cfg)
+        return x, (k_c, v_c)
+
+    x, (new_k, new_v) = jax.lax.scan(body, dec_embeds, (params["decoder"]["blocks"], cache.k, cache.v))
+    x = rms_norm(x, params["decoder"]["ln_f"]["g"], eps=cfg.layer_norm_epsilon)
+    logits = _lm_logits(params, cfg, x)
+    return logits, KVCache(new_k, new_v, cache.enc_hidden, cache.enc_bias, idx + t)
+
+
+def prefill(params, cfg: T5Config, inputs_embeds, cache: KVCache,
+            attention_mask: Optional[jnp.ndarray] = None):
+    """Encode the prompt once and run it as the decoder prefix (the
+    reference's both-sides contract), writing decoder self-attn KV."""
+    enc_hidden = _encode(params, cfg, inputs_embeds, attention_mask)
+    enc_bias = None
+    if attention_mask is not None:
+        enc_bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
+    cache = cache._replace(enc_hidden=enc_hidden, enc_bias=enc_bias)
+    return _decoder_cached(params, cfg, inputs_embeds, cache)
+
+
+def decode_step(params, cfg: T5Config, token_embed, cache: KVCache):
+    logits, cache = _decoder_cached(params, cfg, token_embed, cache)
+    return logits[:, -1], cache

@@ -159,3 +159,400 @@ def mapper_from_torch_state_dict(sd: Mapping, cfg, dtype=jnp.float32) -> dict:
     if "pos_embeddings" in sd:
         params["pos_embeddings"] = jnp.asarray(_np(sd["pos_embeddings"]))
     return _cast_tree(params, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Vision towers (CLIP / BLIP ViT) and the CLIP text tower
+# ---------------------------------------------------------------------------
+
+
+def _conv_patch_to_matmul(w) -> np.ndarray:
+    """Conv2d weight [D, C, P, P] -> per-patch linear [C*P*P, D]."""
+    w = _np(w)
+    d = w.shape[0]
+    return w.reshape(d, -1).T
+
+
+def _fused_qkv(sd, fmt: str, n: int, transpose=True):
+    """Stack per-layer fused [D, 3D] qkv weights from separate q/k/v linears."""
+    ws, bs = [], []
+    for i in range(n):
+        q = _np(sd[fmt.format(i=i, p="q_proj") + ".weight"]).T
+        k = _np(sd[fmt.format(i=i, p="k_proj") + ".weight"]).T
+        v = _np(sd[fmt.format(i=i, p="v_proj") + ".weight"]).T
+        ws.append(np.concatenate([q, k, v], axis=1))
+        qb = _np(sd[fmt.format(i=i, p="q_proj") + ".bias"])
+        kb = _np(sd[fmt.format(i=i, p="k_proj") + ".bias"])
+        vb = _np(sd[fmt.format(i=i, p="v_proj") + ".bias"])
+        bs.append(np.concatenate([qb, kb, vb]))
+    return jnp.asarray(np.stack(ws)), jnp.asarray(np.stack(bs))
+
+
+def clip_vit_from_hf_state_dict(sd: Mapping, cfg, dtype=jnp.float32) -> dict:
+    """HF CLIPVisionModelWithProjection (keys `vision_model.*`,
+    `visual_projection.weight`) -> our ViT params (style='clip')."""
+    p = "vision_model."
+    l = cfg.layers
+    lay = p + "encoder.layers.{i}."
+
+    def stk(t, transpose=False):
+        tr = (lambda x: _np(x).T) if transpose else _np
+        return _stack(sd, lay + t, l, tr)
+
+    wqkv, bqkv = _fused_qkv(sd, lay + "self_attn.{p}", l)
+    params = {
+        "patch": {"w": jnp.asarray(_conv_patch_to_matmul(sd[p + "embeddings.patch_embedding.weight"]))},
+        "cls": jnp.asarray(_np(sd[p + "embeddings.class_embedding"]).reshape(-1)),
+        "pos": jnp.asarray(_np(sd[p + "embeddings.position_embedding.weight"])),
+        "ln_pre": {
+            "g": jnp.asarray(_np(sd[p + "pre_layrnorm.weight"])),
+            "b": jnp.asarray(_np(sd[p + "pre_layrnorm.bias"])),
+        },
+        "blocks": {
+            "ln1": {"g": stk("layer_norm1.weight"), "b": stk("layer_norm1.bias")},
+            "attn": {
+                "wqkv": wqkv,
+                "bqkv": bqkv,
+                "wo": stk("self_attn.out_proj.weight", transpose=True),
+                "bo": stk("self_attn.out_proj.bias"),
+            },
+            "ln2": {"g": stk("layer_norm2.weight"), "b": stk("layer_norm2.bias")},
+            "mlp": {
+                "w1": stk("mlp.fc1.weight", transpose=True),
+                "b1": stk("mlp.fc1.bias"),
+                "w2": stk("mlp.fc2.weight", transpose=True),
+                "b2": stk("mlp.fc2.bias"),
+            },
+        },
+        "ln_post": {
+            "g": jnp.asarray(_np(sd[p + "post_layernorm.weight"])),
+            "b": jnp.asarray(_np(sd[p + "post_layernorm.bias"])),
+        },
+    }
+    if "visual_projection.weight" in sd:
+        params["proj"] = jnp.asarray(_np(sd["visual_projection.weight"]).T)
+    return _cast_tree(params, dtype)
+
+
+def clip_vit_from_openai_state_dict(sd: Mapping, cfg, dtype=jnp.float32) -> dict:
+    """OpenAI CLIP checkpoint (keys `visual.*`) -> ViT params (style='clip')."""
+    p = "visual."
+    l = cfg.layers
+    lay = p + "transformer.resblocks.{i}."
+
+    def stk(t, transpose=False):
+        tr = (lambda x: _np(x).T) if transpose else _np
+        return _stack(sd, lay + t, l, tr)
+
+    params = {
+        "patch": {"w": jnp.asarray(_conv_patch_to_matmul(sd[p + "conv1.weight"]))},
+        "cls": jnp.asarray(_np(sd[p + "class_embedding"]).reshape(-1)),
+        "pos": jnp.asarray(_np(sd[p + "positional_embedding"])),
+        "ln_pre": {
+            "g": jnp.asarray(_np(sd[p + "ln_pre.weight"])),
+            "b": jnp.asarray(_np(sd[p + "ln_pre.bias"])),
+        },
+        "blocks": {
+            "ln1": {"g": stk("ln_1.weight"), "b": stk("ln_1.bias")},
+            "attn": {
+                # in_proj_weight is [3D, D] with rows q,k,v
+                "wqkv": stk("attn.in_proj_weight", transpose=True),
+                "bqkv": stk("attn.in_proj_bias"),
+                "wo": stk("attn.out_proj.weight", transpose=True),
+                "bo": stk("attn.out_proj.bias"),
+            },
+            "ln2": {"g": stk("ln_2.weight"), "b": stk("ln_2.bias")},
+            "mlp": {
+                "w1": stk("mlp.c_fc.weight", transpose=True),
+                "b1": stk("mlp.c_fc.bias"),
+                "w2": stk("mlp.c_proj.weight", transpose=True),
+                "b2": stk("mlp.c_proj.bias"),
+            },
+        },
+        "ln_post": {
+            "g": jnp.asarray(_np(sd[p + "ln_post.weight"])),
+            "b": jnp.asarray(_np(sd[p + "ln_post.bias"])),
+        },
+        "proj": jnp.asarray(_np(sd[p + "proj"])),  # already [D, out]
+    }
+    return _cast_tree(params, dtype)
+
+
+def blip_vit_from_hf_state_dict(sd: Mapping, cfg, dtype=jnp.float32) -> dict:
+    """HF BlipVisionModel (keys `embeddings.*`, `encoder.layers.*`,
+    `post_layernorm.*`) -> ViT params (style='blip')."""
+    prefix = "" if "embeddings.class_embedding" in sd else "vision_model."
+    p = prefix
+    l = cfg.layers
+    lay = p + "encoder.layers.{i}."
+
+    def stk(t, transpose=False):
+        tr = (lambda x: _np(x).T) if transpose else _np
+        return _stack(sd, lay + t, l, tr)
+
+    params = {
+        "patch": {
+            "w": jnp.asarray(_conv_patch_to_matmul(sd[p + "embeddings.patch_embedding.weight"])),
+            "b": jnp.asarray(_np(sd[p + "embeddings.patch_embedding.bias"])),
+        },
+        "cls": jnp.asarray(_np(sd[p + "embeddings.class_embedding"]).reshape(-1)),
+        "pos": jnp.asarray(_np(sd[p + "embeddings.position_embedding"]).reshape(-1, cfg.width)),
+        "blocks": {
+            "ln1": {"g": stk("layer_norm1.weight"), "b": stk("layer_norm1.bias")},
+            "attn": {
+                "wqkv": stk("self_attn.qkv.weight", transpose=True),
+                "bqkv": stk("self_attn.qkv.bias"),
+                "wo": stk("self_attn.projection.weight", transpose=True),
+                "bo": stk("self_attn.projection.bias"),
+            },
+            "ln2": {"g": stk("layer_norm2.weight"), "b": stk("layer_norm2.bias")},
+            "mlp": {
+                "w1": stk("mlp.fc1.weight", transpose=True),
+                "b1": stk("mlp.fc1.bias"),
+                "w2": stk("mlp.fc2.weight", transpose=True),
+                "b2": stk("mlp.fc2.bias"),
+            },
+        },
+        "ln_post": {
+            "g": jnp.asarray(_np(sd[p + "post_layernorm.weight"])),
+            "b": jnp.asarray(_np(sd[p + "post_layernorm.bias"])),
+        },
+    }
+    return _cast_tree(params, dtype)
+
+
+def clip_text_from_hf_state_dict(sd: Mapping, cfg, dtype=jnp.float32) -> dict:
+    """HF CLIPTextModelWithProjection -> clip_text params."""
+    p = "text_model."
+    l = cfg.layers
+    lay = p + "encoder.layers.{i}."
+
+    def stk(t, transpose=False):
+        tr = (lambda x: _np(x).T) if transpose else _np
+        return _stack(sd, lay + t, l, tr)
+
+    wqkv, bqkv = _fused_qkv(sd, lay + "self_attn.{p}", l)
+    params = {
+        "token_embedding": jnp.asarray(_np(sd[p + "embeddings.token_embedding.weight"])),
+        "pos": jnp.asarray(_np(sd[p + "embeddings.position_embedding.weight"])),
+        "blocks": {
+            "ln1": {"g": stk("layer_norm1.weight"), "b": stk("layer_norm1.bias")},
+            "attn": {
+                "wqkv": wqkv,
+                "bqkv": bqkv,
+                "wo": stk("self_attn.out_proj.weight", transpose=True),
+                "bo": stk("self_attn.out_proj.bias"),
+            },
+            "ln2": {"g": stk("layer_norm2.weight"), "b": stk("layer_norm2.bias")},
+            "mlp": {
+                "w1": stk("mlp.fc1.weight", transpose=True),
+                "b1": stk("mlp.fc1.bias"),
+                "w2": stk("mlp.fc2.weight", transpose=True),
+                "b2": stk("mlp.fc2.bias"),
+            },
+        },
+        "ln_final": {
+            "g": jnp.asarray(_np(sd[p + "final_layer_norm.weight"])),
+            "b": jnp.asarray(_np(sd[p + "final_layer_norm.bias"])),
+        },
+        "text_projection": jnp.asarray(_np(sd["text_projection.weight"]).T),
+    }
+    return _cast_tree(params, dtype)
+
+
+def clip_text_from_openai_state_dict(sd: Mapping, cfg, dtype=jnp.float32) -> dict:
+    """OpenAI CLIP checkpoint (text tower keys at top level) -> clip_text."""
+    l = cfg.layers
+    lay = "transformer.resblocks.{i}."
+
+    def stk(t, transpose=False):
+        tr = (lambda x: _np(x).T) if transpose else _np
+        return _stack(sd, lay + t, l, tr)
+
+    params = {
+        "token_embedding": jnp.asarray(_np(sd["token_embedding.weight"])),
+        "pos": jnp.asarray(_np(sd["positional_embedding"])),
+        "blocks": {
+            "ln1": {"g": stk("ln_1.weight"), "b": stk("ln_1.bias")},
+            "attn": {
+                "wqkv": stk("attn.in_proj_weight", transpose=True),
+                "bqkv": stk("attn.in_proj_bias"),
+                "wo": stk("attn.out_proj.weight", transpose=True),
+                "bo": stk("attn.out_proj.bias"),
+            },
+            "ln2": {"g": stk("ln_2.weight"), "b": stk("ln_2.bias")},
+            "mlp": {
+                "w1": stk("mlp.c_fc.weight", transpose=True),
+                "b1": stk("mlp.c_fc.bias"),
+                "w2": stk("mlp.c_proj.weight", transpose=True),
+                "b2": stk("mlp.c_proj.bias"),
+            },
+        },
+        "ln_final": {
+            "g": jnp.asarray(_np(sd["ln_final.weight"])),
+            "b": jnp.asarray(_np(sd["ln_final.bias"])),
+        },
+        "text_projection": jnp.asarray(_np(sd["text_projection"])),
+    }
+    return _cast_tree(params, dtype)
+
+
+# ---------------------------------------------------------------------------
+# T5 / T0
+# ---------------------------------------------------------------------------
+
+
+def t5_from_state_dict(sd: Mapping, cfg, dtype=jnp.float32) -> dict:
+    """HF T5ForConditionalGeneration state dict -> t5 params."""
+    gated = cfg.feed_forward_proj == "gated-gelu"
+
+    def attn(prefix):
+        return {
+            "wq": _np(sd[prefix + ".q.weight"]).T,
+            "wk": _np(sd[prefix + ".k.weight"]).T,
+            "wv": _np(sd[prefix + ".v.weight"]).T,
+            "wo": _np(sd[prefix + ".o.weight"]).T,
+        }
+
+    def mlp(prefix):
+        if gated:
+            return {
+                "wi_0": _np(sd[prefix + ".wi_0.weight"]).T,
+                "wi_1": _np(sd[prefix + ".wi_1.weight"]).T,
+                "wo": _np(sd[prefix + ".wo.weight"]).T,
+            }
+        return {
+            "wi_0": _np(sd[prefix + ".wi.weight"]).T,
+            "wo": _np(sd[prefix + ".wo.weight"]).T,
+        }
+
+    def stack(trees):
+        import jax
+
+        return jax.tree_util.tree_map(lambda *xs: jnp.asarray(np.stack(xs)), *trees)
+
+    enc_layers = []
+    for i in range(cfg.num_layers):
+        p = f"encoder.block.{i}"
+        enc_layers.append(
+            {
+                "ln1": {"g": _np(sd[f"{p}.layer.0.layer_norm.weight"])},
+                "attn": attn(f"{p}.layer.0.SelfAttention"),
+                "ln2": {"g": _np(sd[f"{p}.layer.1.layer_norm.weight"])},
+                "mlp": mlp(f"{p}.layer.1.DenseReluDense"),
+            }
+        )
+    dec_layers = []
+    for i in range(cfg.num_decoder_layers):
+        p = f"decoder.block.{i}"
+        dec_layers.append(
+            {
+                "ln1": {"g": _np(sd[f"{p}.layer.0.layer_norm.weight"])},
+                "self_attn": attn(f"{p}.layer.0.SelfAttention"),
+                "ln2": {"g": _np(sd[f"{p}.layer.1.layer_norm.weight"])},
+                "cross_attn": attn(f"{p}.layer.1.EncDecAttention"),
+                "ln3": {"g": _np(sd[f"{p}.layer.2.layer_norm.weight"])},
+                "mlp": mlp(f"{p}.layer.2.DenseReluDense"),
+            }
+        )
+
+    params = {
+        "shared": jnp.asarray(_np(sd["shared.weight"])),
+        "encoder": {
+            "blocks": stack(enc_layers),
+            "rel_bias": jnp.asarray(
+                _np(sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"])
+            ),
+            "ln_f": {"g": jnp.asarray(_np(sd["encoder.final_layer_norm.weight"]))},
+        },
+        "decoder": {
+            "blocks": stack(dec_layers),
+            "rel_bias": jnp.asarray(
+                _np(sd["decoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"])
+            ),
+            "ln_f": {"g": jnp.asarray(_np(sd["decoder.final_layer_norm.weight"]))},
+        },
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = {"w": jnp.asarray(_np(sd["lm_head.weight"]).T)}
+    return _cast_tree(params, dtype)
+
+
+# ---------------------------------------------------------------------------
+# BLIP text (BERT-style decoder/encoder with cross-attention) + ITM/ITC heads
+# ---------------------------------------------------------------------------
+
+
+def blip_text_from_hf_state_dict(sd: Mapping, cfg, prefix: str = "", dtype=jnp.float32) -> dict:
+    """HF BlipTextLMHeadModel / BlipTextModel state dict -> blip_text params.
+
+    `prefix` selects the submodel inside a larger checkpoint (e.g.
+    "text_decoder." for BlipForConditionalGeneration). Handles both
+    "bert."-rooted LM-head checkpoints and bare text models.
+    """
+    p = prefix
+    if p + "bert.embeddings.word_embeddings.weight" in sd:
+        b = p + "bert."
+    else:
+        b = p
+    l = cfg.num_layers
+    lay = b + "encoder.layer.{i}."
+
+    def stk(t, transpose=False):
+        tr = (lambda x: _np(x).T) if transpose else _np
+        return _stack(sd, lay + t, l, tr)
+
+    def attn_params(kind):
+        return {
+            "wq": stk(f"{kind}.self.query.weight", transpose=True),
+            "bq": stk(f"{kind}.self.query.bias"),
+            "wk": stk(f"{kind}.self.key.weight", transpose=True),
+            "bk": stk(f"{kind}.self.key.bias"),
+            "wv": stk(f"{kind}.self.value.weight", transpose=True),
+            "bv": stk(f"{kind}.self.value.bias"),
+            "wo": stk(f"{kind}.output.dense.weight", transpose=True),
+            "bo": stk(f"{kind}.output.dense.bias"),
+            "ln": {
+                "g": stk(f"{kind}.output.LayerNorm.weight"),
+                "b": stk(f"{kind}.output.LayerNorm.bias"),
+            },
+        }
+
+    params = {
+        "word_embeddings": jnp.asarray(_np(sd[b + "embeddings.word_embeddings.weight"])),
+        "position_embeddings": jnp.asarray(_np(sd[b + "embeddings.position_embeddings.weight"])),
+        "emb_ln": {
+            "g": jnp.asarray(_np(sd[b + "embeddings.LayerNorm.weight"])),
+            "b": jnp.asarray(_np(sd[b + "embeddings.LayerNorm.bias"])),
+        },
+        "blocks": {
+            "self": attn_params("attention"),
+            "cross": attn_params("crossattention"),
+            "mlp": {
+                "w1": stk("intermediate.dense.weight", transpose=True),
+                "b1": stk("intermediate.dense.bias"),
+                "w2": stk("output.dense.weight", transpose=True),
+                "b2": stk("output.dense.bias"),
+                "ln": {
+                    "g": stk("output.LayerNorm.weight"),
+                    "b": stk("output.LayerNorm.bias"),
+                },
+            },
+        },
+    }
+    if p + "cls.predictions.decoder.weight" in sd:
+        params["cls"] = {
+            "transform": {
+                "w": jnp.asarray(_np(sd[p + "cls.predictions.transform.dense.weight"]).T),
+                "b": jnp.asarray(_np(sd[p + "cls.predictions.transform.dense.bias"])),
+            },
+            "transform_ln": {
+                "g": jnp.asarray(_np(sd[p + "cls.predictions.transform.LayerNorm.weight"])),
+                "b": jnp.asarray(_np(sd[p + "cls.predictions.transform.LayerNorm.bias"])),
+            },
+            "decoder": {
+                "w": jnp.asarray(_np(sd[p + "cls.predictions.decoder.weight"]).T),
+                "b": jnp.asarray(_np(sd[p + "cls.predictions.bias"])),
+            },
+        }
+    return _cast_tree(params, dtype)
