@@ -1,0 +1,139 @@
+"""Caption sampler strategy objects.
+
+Rebuild of the reference's CaptionSamplerBase hierarchy
+(evaluate_model.py:355-419): a sampler takes the bundle + image tensor,
+runs visual encoder -> mapper, then a decode strategy.
+
+- NoBeamCaptionSampler (reference :374-393 over generate_no_beam
+  :104-179): the reference loops the top_p sweep sequentially at batch 1;
+  here the sweep IS the batch — one KV-cached generate() with a per-row
+  top_p vector. BOS is prepended, '.' stops count up to max_stops, any
+  special token stops, specials are stripped from the output.
+- ClipGuidedCaptionSampler (reference :396-419): CLIP-guided lookahead.
+- BeamCaptionSampler: beam search (reference inference.py:70-148) as a
+  validator-pluggable strategy.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..decode.beam import beam_search, best_beam_text
+from ..decode.clip_guided import generate_clip_guided
+from ..decode.engine import GenerationSettings, generate, trim_and_decode
+
+
+class CaptionSamplerBase:
+    def sample(self, bundle, image_tensor, image) -> List[str]:
+        if image_tensor.ndim == 3:
+            image_tensor = image_tensor[None]
+        image_embedding = bundle.encode_image(jnp.asarray(image_tensor))
+        prefix = bundle.project_prefix(image_embedding)
+        return self.generate_captions(bundle, prefix, image_embedding, image)
+
+    def get_description(self) -> str:
+        raise NotImplementedError()
+
+    def generate_captions(self, bundle, prefix, image_embedding, image) -> List[str]:
+        raise NotImplementedError()
+
+
+class NoBeamCaptionSampler(CaptionSamplerBase):
+    def __init__(
+        self,
+        top_p_values: Sequence[float] = (0.1,),
+        temperature: float = 1.0,
+        repetition_penalty: float = 1.2,
+        max_decode_length: int = 75,
+        max_stops: int = 3,
+        stop_token: str = ".",
+        seed: int = 0,
+    ):
+        self.top_p_values = list(top_p_values)
+        self.temperature = temperature
+        self.repetition_penalty = repetition_penalty
+        self.max_decode_length = max_decode_length
+        self.max_stops = max_stops
+        self.stop_token = stop_token
+        self.seed = seed
+
+    def get_description(self):
+        return (
+            f"NoBeam(rep_p={self.repetition_penalty}, temp={self.temperature}, "
+            f"top_p={self.top_p_values})"
+        )
+
+    def generate_captions(self, bundle, prefix, image_embedding, image) -> List[str]:
+        assert self.max_decode_length <= 77, "maximum context length for CLIP models is 77"
+        tokenizer = bundle.tokenizer
+        n = len(self.top_p_values)
+        # one row per sweep value (reference reruns the loop per value)
+        prefix_rep = jnp.repeat(prefix, n, axis=0)
+        bos = jnp.full((n, 1), tokenizer.bos_token_id, jnp.int32)
+        prompt = jnp.concatenate([prefix_rep, bundle.embed_text(bos)], axis=1)
+
+        stop_id = tokenizer.encode_text(self.stop_token)[0]
+        settings = GenerationSettings(
+            max_new_tokens=self.max_decode_length,
+            temperature=self.temperature,
+            top_p=jnp.asarray(self.top_p_values, jnp.float32),
+            repetition_penalty=self.repetition_penalty,
+            stop_token_id=stop_id,
+            max_stops=self.max_stops,
+            stop_on_special=tuple(tokenizer.all_special_ids),
+        )
+        out = generate(
+            bundle.lm, bundle.params["lm"], bundle.lm_cfg, prompt, settings,
+            rng=jax.random.PRNGKey(self.seed),
+        )
+        return trim_and_decode(out, tokenizer, strip_special=True)
+
+
+class ClipGuidedCaptionSampler(CaptionSamplerBase):
+    def __init__(self, clip_scoring, branching_factor: int = 3, look_ahead: int = 4,
+                 repetition_penalty: float = 1.2):
+        self.clip_scoring = clip_scoring
+        self.branching_factor = branching_factor
+        self.look_ahead = look_ahead
+        self.repetition_penalty = repetition_penalty
+
+    def get_description(self):
+        return (
+            f"ClipGuided(branching={self.branching_factor}, "
+            f"look_ahead={self.look_ahead}, rep_p={self.repetition_penalty})"
+        )
+
+    def generate_captions(self, bundle, prefix, image_embedding, image) -> List[str]:
+        clip_image_tensor = self.clip_scoring.preprocess_image(image)
+        clip_image_embedding = self.clip_scoring.embed_image(clip_image_tensor)
+        caption = generate_clip_guided(
+            bundle, self.clip_scoring, clip_image_embedding[0], prefix,
+            branching_factor=self.branching_factor,
+            look_ahead=self.look_ahead,
+            repetition_penalty_value=self.repetition_penalty,
+        )
+        return [caption]
+
+
+class BeamCaptionSampler(CaptionSamplerBase):
+    def __init__(self, beam_size: int = 5, max_decode_length: int = 67,
+                 temperature: float = 1.0, stop_token: str = "."):
+        self.beam_size = beam_size
+        self.max_decode_length = max_decode_length
+        self.temperature = temperature
+        self.stop_token = stop_token
+
+    def get_description(self):
+        return f"Beam(size={self.beam_size}, temp={self.temperature})"
+
+    def generate_captions(self, bundle, prefix, image_embedding, image) -> List[str]:
+        stop_id = bundle.tokenizer.encode_text(self.stop_token)[0]
+        out = beam_search(
+            bundle.lm, bundle.params["lm"], bundle.lm_cfg, prefix,
+            beam_size=self.beam_size, max_new_tokens=self.max_decode_length,
+            temperature=self.temperature, stop_token_id=stop_id,
+        )
+        return [best_beam_text(out, bundle.tokenizer)]

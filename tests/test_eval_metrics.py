@@ -1,0 +1,106 @@
+"""Scoring-suite tests: PTB tokenization rules, BLEU vs nltk's corpus_bleu,
+CIDEr-D / ROUGE-L / METEOR properties, generate_scores plumbing.
+"""
+
+import numpy as np
+import pytest
+
+from clipcap_tpu.eval.bleu import bleu
+from clipcap_tpu.eval.cider import cider_d
+from clipcap_tpu.eval.meteor import meteor
+from clipcap_tpu.eval.ptb_tokenizer import ptb_tokenize, ptb_tokenize_caption
+from clipcap_tpu.eval.rouge import rouge_l
+from clipcap_tpu.eval.scoring import generate_scores, generate_scores_full
+
+
+def test_ptb_tokenize_rules():
+    assert ptb_tokenize_caption("A man riding a wave.") == "a man riding a wave"
+    assert ptb_tokenize_caption("Don't stop!") == "do n't stop"
+    assert ptb_tokenize_caption("the cat's toy, and dog...") == "the cat 's toy and dog"
+    assert ptb_tokenize_caption('He said "hello" loudly') == "he said hello loudly"
+    d = ptb_tokenize({1: [{"caption": "Two dogs play."}, {"caption": "A DOG!"}]})
+    assert d == {1: ["two dogs play", "a dog"]}
+
+
+GTS = {
+    1: ["a man riding a wave on a surfboard", "a surfer rides a big wave",
+        "man surfing on the ocean", "a person on a surfboard rides a wave",
+        "the man is surfing a large wave"],
+    2: ["a cat sitting on a wooden bench", "a cat sits on the bench outside",
+        "small cat resting on a park bench", "a kitten on a wooden seat",
+        "cat lying on a bench in the park"],
+}
+RES_GOOD = {1: ["a man riding a wave on a surfboard"], 2: ["a cat sitting on a wooden bench"]}
+RES_PART = {1: ["a man on a beach"], 2: ["a dog in the park"]}
+
+
+def test_bleu_perfect_match():
+    corpus, per_image = bleu(GTS, RES_GOOD)
+    for b in corpus:
+        assert b > 0.999
+    assert len(per_image) == 4 and len(per_image[0]) == 2
+
+
+def test_bleu_matches_nltk():
+    from nltk.translate.bleu_score import corpus_bleu
+
+    refs = [[r.split() for r in GTS[k]] for k in GTS]
+    hyps = [RES_PART[k][0].split() for k in GTS]
+    ours, _ = bleu(GTS, RES_PART)
+    for n in range(1, 5):
+        weights = tuple([1.0 / n] * n)
+        want = corpus_bleu(refs, hyps, weights=weights)
+        np.testing.assert_allclose(ours[n - 1], want, atol=2e-3)
+
+
+def test_bleu_ranks_quality():
+    good, _ = bleu(GTS, RES_GOOD)
+    part, _ = bleu(GTS, RES_PART)
+    assert all(g > p for g, p in zip(good, part))
+
+
+def test_cider_perfect_and_ordering():
+    corpus_good, per_img = cider_d(GTS, RES_GOOD)
+    corpus_part, _ = cider_d(GTS, RES_PART)
+    assert corpus_good > corpus_part >= 0
+    assert len(per_img) == 2
+    # exact matches score 10 per image (cos=1, len penalty=1, x10) when the
+    # corpus has >1 image so idf > 0 (a 1-image corpus degenerates to 0,
+    # matching pycocoevalcap)
+    pair_gts = {1: ["a cat on a mat"], 2: ["two dogs chase birds quickly"]}
+    pair_res = {1: ["a cat on a mat"], 2: ["two dogs chase birds quickly"]}
+    score, per = cider_d(pair_gts, pair_res)
+    np.testing.assert_allclose(score, 10.0, atol=1e-6)
+    np.testing.assert_allclose(per, [10.0, 10.0], atol=1e-6)
+    solo, _ = cider_d({1: ["a cat"]}, {1: ["a cat"]})
+    assert solo == 0.0
+
+
+def test_rouge_l():
+    score, per = rouge_l(GTS, RES_GOOD)
+    assert score > 0.999 and len(per) == 2
+    part, _ = rouge_l(GTS, RES_PART)
+    assert part < score
+
+
+def test_meteor_properties():
+    good, _ = meteor(GTS, RES_GOOD)
+    part, _ = meteor(GTS, RES_PART)
+    assert 0 <= part < good <= 1
+    # stem matching: "surfing" vs "surf" alignment contributes
+    s1, _ = meteor({1: ["a man surfing"]}, {1: ["a man surfs"]})
+    s2, _ = meteor({1: ["a man surfing"]}, {1: ["a man jumping"]})
+    assert s1 > s2
+
+
+def test_generate_scores_interface():
+    gts = {k: [{"caption": c} for c in v] for k, v in GTS.items()}
+    res = {k: [{"caption": v[0]}] for k, v in RES_GOOD.items()}
+    scores, img_scores = generate_scores(gts, res)
+    assert set(scores) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "CIDEr"}
+    assert set(img_scores[1]) == set(scores)
+
+    full, _ = generate_scores_full(gts, res)
+    assert set(full) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"}
+    with pytest.raises(NotImplementedError):
+        generate_scores_full(gts, res, include_spice=True)
