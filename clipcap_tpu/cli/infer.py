@@ -1,0 +1,155 @@
+"""Folder inference demo (the reference's shutterstock demo).
+
+Rebuild of reference inference.py:401-558 `_shutterstock_demo`: iterate a
+folder of jpg+json (url/alt metadata), encode each image with the CLIP
+visual tower in all-features mode (the monkeypatched all-token forward,
+inference.py:422-444 — our ViT's "tokens_proj" output), map to prefix,
+generate captions by beam or no-beam, CLIP-score generated vs original
+text, compute corpus scores, write `{prefix}_shutterstock.json`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def demo_generate_captions(
+    bundle,
+    clip_scoring,
+    image,
+    number_to_generate: int = 1,
+    text_prefix: Optional[str] = None,
+    use_beam_search: bool = False,
+    **generation_kwargs,
+) -> Tuple[List[str], jnp.ndarray]:
+    """reference inference.py:295-331: preprocess -> encode -> project ->
+    beam/no-beam. Returns (captions, image CLIP features)."""
+    import numpy as np
+
+    from ..decode.beam import beam_search, best_beam_text
+    from ..eval.samplers import NoBeamCaptionSampler
+
+    image_tensor = clip_scoring.preprocess_image(image)
+    # the captioner's own visual encoder produces the prefix features
+    pixels = jnp.asarray(np.asarray(image_tensor))[None]
+    visual_feats = bundle.encode_image(pixels)
+    prefix_embed = bundle.project_prefix(visual_feats)
+
+    prompt = prefix_embed
+    if text_prefix is not None:
+        toks = jnp.asarray([bundle.tokenizer.encode_text(text_prefix)])
+        prompt = jnp.concatenate([prefix_embed, bundle.embed_text(toks)], axis=1)
+
+    if use_beam_search:
+        out = beam_search(bundle.lm, bundle.params["lm"], bundle.lm_cfg, prompt,
+                          beam_size=generation_kwargs.get("beam_size", 5),
+                          max_new_tokens=generation_kwargs.get("entry_length", 67),
+                          stop_token_id=bundle.tokenizer.encode_text(".")[0])
+        captions = [best_beam_text(out, bundle.tokenizer)]
+    else:
+        sampler = NoBeamCaptionSampler(
+            top_p_values=generation_kwargs.get("top_p_values",
+                                               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        )
+        captions = sampler.generate_captions(bundle, prompt, visual_feats, image)
+    captions = captions[:number_to_generate] if number_to_generate else captions
+    if text_prefix is not None:
+        captions = [text_prefix + c for c in captions]
+
+    image_features = clip_scoring.embed_image(image_tensor)
+    return captions, image_features
+
+
+def folder_demo(
+    bundle,
+    clip_scoring,
+    folder_path: str,
+    out_filename_prefix: str = "demo_inference",
+    total_samples: int = 100,
+    number_to_generate: int = 1,
+    text_prefix: Optional[str] = None,
+    use_beam_search: bool = True,
+) -> dict:
+    from PIL import Image
+
+    from ..eval.scoring import generate_scores_full
+
+    samples_path = Path(folder_path)
+    sample_data = {}
+    scoring_gts, scoring_res, image_id_to_url = {}, {}, {}
+    image_id = 0
+
+    for image_file in sorted(samples_path.glob("*.jpg"))[:total_samples]:
+        image = Image.open(image_file).convert("RGB")
+        metadata_file = image_file.with_suffix(".json")
+        metadata = json.loads(metadata_file.read_text()) if metadata_file.exists() else {}
+
+        captions, image_features = demo_generate_captions(
+            bundle, clip_scoring, image,
+            number_to_generate=number_to_generate, text_prefix=text_prefix,
+            use_beam_search=use_beam_search,
+        )
+        print(image_file)
+        print(captions)
+
+        url = metadata.get("src", str(image_file))
+        original_caption = metadata.get("alt", "")
+        sample_data[url] = {
+            "original_caption": original_caption,
+            "generated_captions": captions,
+        }
+        scoring_res[image_id] = [{"caption": original_caption}]
+        scoring_gts[image_id] = [{"caption": c} for c in captions]
+        image_id_to_url[image_id] = url
+        image_id += 1
+
+    scores, img_scores = generate_scores_full(scoring_gts, scoring_res)
+    print("Scores")
+    print(scores)
+    for img_id, s in img_scores.items():
+        sample_data[image_id_to_url[img_id]]["scores"] = s
+
+    out_path = f"{out_filename_prefix}_shutterstock.json"
+    with open(out_path, "w+") as f:
+        json.dump(sample_data, f)
+    print(f"wrote {out_path}")
+    return sample_data
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint_path", required=True)
+    p.add_argument("--tokenizer_vocab_dir", required=True)
+    p.add_argument("--folder_path", required=True, help="folder of jpg(+json)")
+    p.add_argument("--clip_model", default="ViT-B/32")
+    p.add_argument("--clip_checkpoint", required=True)
+    p.add_argument("--clip_merges", required=True)
+    p.add_argument("--out_filename_prefix", default="demo_inference")
+    p.add_argument("--total_samples", type=int, default=100)
+    p.add_argument("--number_to_generate", type=int, default=1)
+    p.add_argument("--text_prefix", default=None)
+    p.add_argument("--no_beam", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..eval.clip_scoring import ClipScoring
+    from .loading import load_captioner_bundle, load_clip_ranker
+
+    bundle = load_captioner_bundle(args.checkpoint_path, args.tokenizer_vocab_dir)
+    ranker = load_clip_ranker(args.clip_model, args.clip_checkpoint, args.clip_merges)
+    scoring = ClipScoring(ranker.vit_params, ranker.vit_cfg, ranker.text_params,
+                          ranker.text_cfg, ranker.tokenizer)
+    folder_demo(bundle, scoring, args.folder_path,
+                out_filename_prefix=args.out_filename_prefix,
+                total_samples=args.total_samples,
+                number_to_generate=args.number_to_generate,
+                text_prefix=args.text_prefix,
+                use_beam_search=not args.no_beam)
+
+
+if __name__ == "__main__":
+    main()

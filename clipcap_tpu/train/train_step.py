@@ -63,16 +63,34 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh=None,
     donate: bool = True,
+    visual_cfg: Any = None,
 ):
     """Build the jitted (state, batch) -> (state, metrics) function.
 
-    batch = {"tokens": int [B, T] (-1 padded), "prefix": f32 [B, ...]}.
+    batch = {"tokens": int [B, T] (-1 padded)} plus either
+      "prefix": f32 visual features (precomputed-shard path), or
+      "pixels": f32 [B, 3, H, W] — requires visual_cfg; the visual encoder
+      runs inside the step (frozen via stop_gradient unless
+      cap_cfg.train_visual_encoder, reference model.py:196-201).
     With accumulate_grad_batches > 1, arrays carry a leading [A] axis.
     """
 
-    def loss_fn(params, tokens, prefix):
+    def encode_pixels(params, pixels):
+        from ..models import vit
+
+        mode = "tokens" if visual_cfg.style == "blip" else (
+            "tokens_proj" if cap_cfg.mapper.use_all_features else "pooled"
+        )
+        feats = vit.apply(params["visual"], visual_cfg, pixels, output=mode,
+                          remat=train_cfg.remat)
+        if not cap_cfg.train_visual_encoder:
+            feats = jax.lax.stop_gradient(feats)
+        return feats
+
+    def loss_fn(params, mb):
+        prefix = mb["prefix"] if "prefix" in mb else encode_pixels(params, mb["pixels"])
         return captioner.caption_loss(
-            params, cap_cfg, lm_cfg, tokens, prefix, remat=train_cfg.remat
+            params, cap_cfg, lm_cfg, mb["tokens"], prefix, remat=train_cfg.remat
         )
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -80,7 +98,7 @@ def make_train_step(
     def compute_grads(params, batch):
         if train_cfg.accumulate_grad_batches > 1:
             def micro(acc, mb):
-                (loss, aux), grads = grad_fn(params, mb["tokens"], mb["prefix"])
+                (loss, aux), grads = grad_fn(params, mb)
                 acc_grads, acc_loss = acc
                 acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
                 return (acc_grads, acc_loss + loss), None
@@ -92,7 +110,7 @@ def make_train_step(
             a = train_cfg.accumulate_grad_batches
             grads = jax.tree_util.tree_map(lambda g: g / a, grads)
             return loss_sum / a, grads
-        (loss, aux), grads = grad_fn(params, batch["tokens"], batch["prefix"])
+        (loss, aux), grads = grad_fn(params, batch)
         return loss, grads
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:

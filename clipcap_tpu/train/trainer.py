@@ -35,11 +35,13 @@ def fit(
     checkpoint_saver: Optional[CheckpointSaver] = None,
     logger: Optional[MetricLogger] = None,
     validate_fn: Optional[Callable] = None,
+    visual_cfg=None,
 ) -> TrainState:
     if mesh is None:
         mesh = make_mesh(MeshSpec(data=len(jax.devices()), model=1))
     logger = logger or MetricLogger()
-    step_fn = make_train_step(cap_cfg, lm_cfg, train_cfg, tx, mesh=mesh)
+    step_fn = make_train_step(cap_cfg, lm_cfg, train_cfg, tx, mesh=mesh,
+                              visual_cfg=visual_cfg)
 
     it = iter(data_iter)
     global_step = int(jax.device_get(state.step))
@@ -47,8 +49,7 @@ def fit(
 
     for epoch in range(train_cfg.epochs):
         for _ in range(steps_per_epoch):
-            tokens, prefix = _as_batch(next(it))
-            batch = shard_batch(mesh, {"tokens": tokens, "prefix": prefix})
+            batch = shard_batch(mesh, _as_batch(next(it)))
             state, metrics = step_fn(state, batch)
             global_step += 1
 
@@ -86,12 +87,24 @@ def fit(
     return state
 
 
-def _as_batch(item):
-    """Accept (tokens, prefixes) tuples (TokenPrefixDataset) or dicts."""
+def _as_batch(item) -> dict:
+    """Normalize to {"tokens", "prefix"|"pixels"}.
+
+    Accepts (tokens, prefixes) tuples (TokenPrefixDataset), dicts with
+    "prefix", or dicts with "image_tensor"/"pixels" (raw-image path)."""
     if isinstance(item, dict):
-        return np.asarray(item["tokens"]), np.asarray(item["prefix"])
+        out = {"tokens": np.asarray(item["tokens"])}
+        if "prefix" in item:
+            out["prefix"] = np.asarray(item["prefix"])
+        elif "pixels" in item:
+            out["pixels"] = np.asarray(item["pixels"])
+        elif "image_tensor" in item:
+            out["pixels"] = np.asarray(item["image_tensor"])
+        else:
+            raise KeyError("batch needs 'prefix', 'pixels' or 'image_tensor'")
+        return out
     tokens, prefix = item
-    return np.asarray(tokens), np.asarray(prefix)
+    return {"tokens": np.asarray(tokens), "prefix": np.asarray(prefix)}
 
 
 def _flatten(d, prefix=""):
