@@ -71,6 +71,8 @@ def main():
     p50 = times[len(times) // 2]
     captions_per_sec = BATCH / p50
 
+    vit_ips = _bench_vit_preprocess()
+
     print(
         json.dumps(
             {
@@ -84,10 +86,42 @@ def main():
                     "new_tokens": NEW_TOKENS,
                     "p50_batch_latency_ms": round(p50 * 1000, 1),
                     "dtype": "bfloat16",
+                    "vit_b32_preprocess_images_per_sec": round(vit_ips, 1),
+                    "vit_b32_vs_10k_target": round(vit_ips / 10000.0, 3),
                 },
             }
         )
     )
+
+
+def _bench_vit_preprocess(batch: int = 256, iters: int = 5) -> float:
+    """Second headline (BASELINE.md): ViT-B/32 image-encode throughput —
+    the device half of the webdataset->embedding-shards preprocessor."""
+    import jax
+    import jax.numpy as jnp
+
+    from clipcap_tpu.core.config import ViTConfig
+    from clipcap_tpu.models import vit
+
+    cfg = ViTConfig.clip_variant("ViT-B/32")
+    params = jax.jit(lambda k: vit.init(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.PRNGKey(0)
+    )
+    pixels = jax.jit(
+        lambda k: jax.random.normal(k, (batch, 3, 224, 224), jnp.bfloat16)
+    )(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def encode_checksum(params, px):
+        return jnp.sum(vit.apply(params, cfg, px, output="pooled"))
+
+    float(encode_checksum(params, pixels))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = encode_checksum(params, pixels)
+    float(r)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
 
 
 if __name__ == "__main__":

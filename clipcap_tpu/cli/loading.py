@@ -52,11 +52,26 @@ def load_clip_ranker(clip_model: str, checkpoint: str, merges_path: str):
         clip_vit_from_openai_state_dict,
     )
 
-    if "RN" in clip_model:
-        raise NotImplementedError(
-            f"CLIP ResNet variants ({clip_model}) are not implemented yet; "
-            "use a ViT CLIP model for ranking."
+    if clip_model.startswith("RN"):
+        from ..tools.import_weights import (
+            clip_resnet_config_from_state_dict,
+            clip_resnet_from_openai_state_dict,
         )
+
+        sd = load_state_dict(checkpoint)
+        rn_cfg = clip_resnet_config_from_state_dict(sd)
+        rn_params = clip_resnet_from_openai_state_dict(sd, rn_cfg)
+        width = np.asarray(sd["ln_final.weight"]).shape[0]
+        layers = len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")})
+        text_cfg = CLIPTextConfig(
+            vocab_size=np.asarray(sd["token_embedding.weight"]).shape[0],
+            width=width, layers=layers, heads=width // 64,
+            output_dim=np.asarray(sd["text_projection"]).shape[1],
+        )
+        text_params = clip_text_from_openai_state_dict(sd, text_cfg)
+        tokenizer = CLIPTokenizer.from_merges_file(merges_path)
+        return CLIPRanker(rn_params, rn_cfg, text_params, text_cfg, tokenizer)
+
     vit_cfg = ViTConfig.clip_variant(clip_model)
     sd = load_state_dict(checkpoint)
     if any(k.startswith("visual.") for k in sd):

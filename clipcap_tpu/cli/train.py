@@ -91,6 +91,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_name", default=None)
     p.add_argument("--max_log_samples", type=int, default=64)
     p.add_argument("--max_steps", type=int, default=None, help="cap steps (debug)")
+    p.add_argument("--resume_from", default=None,
+                   help="orbax checkpoint dir to resume params/opt-state/step from")
     p.add_argument("--seed", type=int, default=42)
     return p
 
@@ -257,6 +259,16 @@ def train(args) -> dict:
     devices = jax.devices()[: data_axis * args.mesh_model]
     mesh = make_mesh(MeshSpec(data=data_axis, model=args.mesh_model), devices=devices)
     state, tx = create_train_state(rng, cap_cfg, lm_cfg, train_cfg, params=params)
+    if args.resume_from:
+        # step-indexed resume (the reference has no explicit resume wiring;
+        # its "latest" checkpoints exist for exactly this, train.py:37-42)
+        from ..train.checkpoints import restore_checkpoint
+
+        import jax.numpy as jnp
+
+        restored = restore_checkpoint(args.resume_from, template=jax.device_get(state))
+        state = jax.tree_util.tree_map(jnp.asarray, restored)
+        print(f"resumed from {args.resume_from} at step {int(jax.device_get(state.step))}")
     state = state._replace(
         params=shard_params(state.params, mesh, zero=args.zero_shard_params)
     )

@@ -88,6 +88,13 @@ def patchify(pixels: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     return x.reshape(b, gh * gw, c * p * p)
 
 
+def _use_pallas_attention(t: int, dh: int) -> bool:
+    """Fused Pallas attention pays off for long encoder sequences (BLIP's
+    577 tokens @384px); for tiny ones (CLIP's 50) the [T, dh] tiles pad
+    badly and XLA's fused einsums win. TPU only."""
+    return t >= 256 and dh in (64, 128) and jax.default_backend() == "tpu"
+
+
 def _block(x, layer, cfg: ViTConfig, act):
     b, t, d = x.shape
     heads, dh = cfg.heads, d // cfg.heads
@@ -98,7 +105,12 @@ def _block(x, layer, cfg: ViTConfig, act):
     q = q.reshape(b, t, heads, dh)
     k = k.reshape(b, t, heads, dh)
     v = v.reshape(b, t, heads, dh)
-    attn = dot_product_attention(q, k, v).reshape(b, t, d)
+    if _use_pallas_attention(t, dh):
+        from ..ops.pallas.fused_attention import fused_attention
+
+        attn = fused_attention(q, k, v).reshape(b, t, d)
+    else:
+        attn = dot_product_attention(q, k, v).reshape(b, t, d)
     x = x + jnp.dot(attn, layer["attn"]["wo"]) + layer["attn"]["bo"]
 
     h = layer_norm(x, layer["ln2"]["g"], layer["ln2"]["b"], eps=cfg.layer_norm_epsilon)

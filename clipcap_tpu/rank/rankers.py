@@ -30,19 +30,27 @@ def cos_sim(a: jnp.ndarray, b: jnp.ndarray, normalize: bool = True) -> jnp.ndarr
 
 
 class CLIPRanker:
-    """clip_rank over one image and a caption list."""
+    """clip_rank over one image and a caption list.
+
+    The image tower is a ViT (ViTConfig) or a ModifiedResNet
+    (clip_resnet.ResNetConfig — the RN50x64 re-ranking stage of
+    reference sampling.py:436-479), selected by the config type.
+    """
 
     def __init__(self, vit_params, vit_cfg, text_params, text_cfg, tokenizer):
-        from ..models import clip_text, vit
+        from ..models import clip_resnet, clip_text, vit
 
-        self._vit = vit
-        self._clip_text = clip_text
         self.vit_params, self.vit_cfg = vit_params, vit_cfg
         self.text_params, self.text_cfg = text_params, text_cfg
         self.tokenizer = tokenizer
-        self._encode_image = jax.jit(
-            lambda px: vit.apply(vit_params, vit_cfg, px, output="pooled")
-        )
+        if isinstance(vit_cfg, clip_resnet.ResNetConfig):
+            self._encode_image = jax.jit(
+                lambda px: clip_resnet.apply(vit_params, vit_cfg, px)
+            )
+        else:
+            self._encode_image = jax.jit(
+                lambda px: vit.apply(vit_params, vit_cfg, px, output="pooled")
+            )
         self._encode_text = jax.jit(
             lambda toks: clip_text.apply(text_params, text_cfg, toks)
         )

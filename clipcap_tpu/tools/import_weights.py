@@ -556,3 +556,71 @@ def blip_text_from_hf_state_dict(sd: Mapping, cfg, prefix: str = "", dtype=jnp.f
             },
         }
     return _cast_tree(params, dtype)
+
+
+# ---------------------------------------------------------------------------
+# CLIP ModifiedResNet (RN50 / RN50x4 / RN50x16 / RN50x64)
+# ---------------------------------------------------------------------------
+
+
+def clip_resnet_config_from_state_dict(sd: Mapping):
+    """Derive ResNetConfig from an OpenAI checkpoint (like clip.load does)."""
+    from ..models.clip_resnet import ResNetConfig
+
+    counts = []
+    for stage in range(1, 5):
+        blocks = {k.split(".")[2] for k in sd
+                  if k.startswith(f"visual.layer{stage}.")}
+        counts.append(len(blocks))
+    width = _np(sd["visual.conv3.weight"]).shape[0]
+    embed_dim = width * 32
+    output_dim = _np(sd["visual.attnpool.c_proj.weight"]).shape[0]
+    spacial = int(round((_np(sd["visual.attnpool.positional_embedding"]).shape[0] - 1) ** 0.5))
+    return ResNetConfig(layers=tuple(counts), width=width, output_dim=output_dim,
+                        heads=embed_dim // 64, image_size=spacial * 32)
+
+
+def clip_resnet_from_openai_state_dict(sd: Mapping, cfg=None, dtype=jnp.float32) -> dict:
+    """OpenAI CLIP checkpoint (keys `visual.*`) -> clip_resnet params."""
+    if cfg is None:
+        cfg = clip_resnet_config_from_state_dict(sd)
+
+    def bn(prefix):
+        return {
+            "g": _np(sd[prefix + ".weight"]),
+            "b": _np(sd[prefix + ".bias"]),
+            "mean": _np(sd[prefix + ".running_mean"]),
+            "var": _np(sd[prefix + ".running_var"]),
+        }
+
+    params = {
+        "conv1": _np(sd["visual.conv1.weight"]), "bn1": bn("visual.bn1"),
+        "conv2": _np(sd["visual.conv2.weight"]), "bn2": bn("visual.bn2"),
+        "conv3": _np(sd["visual.conv3.weight"]), "bn3": bn("visual.bn3"),
+    }
+    for stage_idx, blocks in enumerate(cfg.layers):
+        stage = []
+        for b_idx in range(blocks):
+            p = f"visual.layer{stage_idx + 1}.{b_idx}"
+            block = {
+                "conv1": _np(sd[f"{p}.conv1.weight"]), "bn1": bn(f"{p}.bn1"),
+                "conv2": _np(sd[f"{p}.conv2.weight"]), "bn2": bn(f"{p}.bn2"),
+                "conv3": _np(sd[f"{p}.conv3.weight"]), "bn3": bn(f"{p}.bn3"),
+            }
+            if f"{p}.downsample.0.weight" in sd:
+                block["downsample"] = {
+                    "conv": _np(sd[f"{p}.downsample.0.weight"]),
+                    "bn": bn(f"{p}.downsample.1"),
+                }
+            stage.append(block)
+        params[f"layer{stage_idx + 1}"] = stage
+
+    ap = "visual.attnpool"
+    params["attnpool"] = {
+        "positional_embedding": _np(sd[f"{ap}.positional_embedding"]),
+        "q_proj": {"w": _np(sd[f"{ap}.q_proj.weight"]).T, "b": _np(sd[f"{ap}.q_proj.bias"])},
+        "k_proj": {"w": _np(sd[f"{ap}.k_proj.weight"]).T, "b": _np(sd[f"{ap}.k_proj.bias"])},
+        "v_proj": {"w": _np(sd[f"{ap}.v_proj.weight"]).T, "b": _np(sd[f"{ap}.v_proj.bias"])},
+        "c_proj": {"w": _np(sd[f"{ap}.c_proj.weight"]).T, "b": _np(sd[f"{ap}.c_proj.bias"])},
+    }
+    return _cast_tree(params, dtype)

@@ -1,0 +1,65 @@
+"""Tensor-parallel GPT-J decode on the fake 8-device mesh: sharded heads +
+sharded KV cache must produce the same tokens as single-device decode.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from clipcap_tpu.core.config import GPTJConfig
+from clipcap_tpu.core.mesh import MeshSpec, make_mesh
+from clipcap_tpu.models import gptj
+from clipcap_tpu.parallel.tp import apply_gptj_decode_shardings
+
+CFG = GPTJConfig(vocab_size=128, n_positions=64, n_embd=64, n_layer=2, n_head=8,
+                 rotary_dim=8)
+
+
+def greedy_decode(params, prefix, n, cache):
+    logits, cache = gptj.prefill(params, CFG, prefix, cache)
+    tok = jnp.argmax(logits[:, -1], axis=-1)
+
+    def body(carry, _):
+        tok, cache = carry
+        emb = gptj.embed_tokens(params, tok)[:, None, :]
+        logits, cache = gptj.decode_step(params, CFG, emb, cache)
+        nxt = jnp.argmax(logits, axis=-1)
+        return (nxt, cache), nxt
+
+    (_, _), toks = jax.lax.scan(body, (tok, cache), None, length=n - 1)
+    return jnp.concatenate([tok[:, None], toks.T], axis=1)
+
+
+def test_tp_decode_matches_single_device():
+    params = gptj.init(jax.random.PRNGKey(0), CFG)
+    prefix = jax.random.normal(jax.random.PRNGKey(1), (4, 6, CFG.n_embd))
+    n = 10
+
+    cache = gptj.init_cache(CFG, batch=4, max_len=6 + n)
+    want = np.asarray(jax.jit(greedy_decode, static_argnums=2)(params, prefix, n, cache))
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    cache2 = gptj.init_cache(CFG, batch=4, max_len=6 + n)
+    with mesh:
+        sp, sc, sh = apply_gptj_decode_shardings(params, cache2, mesh)
+        prefix_sharded = jax.device_put(prefix, sh.activations())
+        got = np.asarray(
+            jax.jit(greedy_decode, static_argnums=2)(sp, prefix_sharded, n, sc)
+        )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cache_is_actually_sharded():
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    params = gptj.init(jax.random.PRNGKey(0), CFG)
+    cache = gptj.init_cache(CFG, batch=4, max_len=8)
+    with mesh:
+        sp, sc, _ = apply_gptj_decode_shardings(params, cache, mesh)
+    # each device holds 1/8 of the KV cache (2-way batch x 4-way heads)
+    shard_shape = sc.k.sharding.shard_shape(sc.k.shape)
+    assert shard_shape[1] == 2  # batch / data axis
+    assert shard_shape[3] == CFG.n_head // 4  # heads / model axis
+    w_in_shape = sp["blocks"]["mlp"]["w_in"].sharding.shard_shape(
+        sp["blocks"]["mlp"]["w_in"].shape
+    )
+    assert w_in_shape[2] == (4 * CFG.n_embd) // 4
