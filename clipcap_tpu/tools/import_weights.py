@@ -624,3 +624,24 @@ def clip_resnet_from_openai_state_dict(sd: Mapping, cfg=None, dtype=jnp.float32)
         "c_proj": {"w": _np(sd[f"{ap}.c_proj.weight"]).T, "b": _np(sd[f"{ap}.c_proj.bias"])},
     }
     return _cast_tree(params, dtype)
+
+
+def blip_retrieval_from_hf_state_dict(sd: Mapping, vit_cfg, text_cfg, dtype=jnp.float32) -> dict:
+    """HF BlipForImageTextRetrieval -> blip_retrieval params
+    (vision tower + text encoder with cross-attn + ITM/ITC heads)."""
+    def lin(prefix):
+        return {"w": jnp.asarray(_np(sd[prefix + ".weight"]).T),
+                "b": jnp.asarray(_np(sd[prefix + ".bias"]))}
+
+    params = {
+        "visual": blip_vit_from_hf_state_dict(
+            {k[len("vision_model."):]: v for k, v in sd.items()
+             if k.startswith("vision_model.")}, vit_cfg, dtype=dtype),
+        "text": blip_text_from_hf_state_dict(
+            {k[len("text_encoder."):]: v for k, v in sd.items()
+             if k.startswith("text_encoder.")}, text_cfg, dtype=dtype),
+        "vision_proj": lin("vision_proj"),
+        "text_proj": lin("text_proj"),
+        "itm_head": lin("itm_head"),
+    }
+    return _cast_tree(params, dtype)
