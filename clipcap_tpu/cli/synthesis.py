@@ -32,16 +32,19 @@ from ..rank.rankers import BLIPRanker, CLIPRanker
 
 
 def default_grids(set_top_p=None, set_min_len=None, set_max_len=None, n: int = 40):
-    """The 40-candidate hyperparameter grid (prepare_human_eval.py:149-161)."""
-    top_p = np.asarray([set_top_p] * n if set_top_p is not None
-                       else [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8] * (n // 8),
-                       np.float32)
-    min_len = np.asarray([set_min_len] * n if set_min_len is not None
-                         else [5] * 8 + [10] * 8 + [15] * 8 + [20] * 8 + [30] * 8,
-                         np.int32)
-    max_len = np.asarray([set_max_len] * n if set_max_len is not None
-                         else [20] * 8 + [30] * 8 + [30] * 8 + [45] * 8 + [45] * 8,
-                         np.int32)
+    """The 40-candidate hyperparameter grid (prepare_human_eval.py:149-161),
+    tiled/trimmed to any n."""
+
+    def fit(values):
+        reps = -(-n // len(values))
+        return np.tile(np.asarray(values), reps)[:n]
+
+    top_p = (np.full(n, set_top_p, np.float32) if set_top_p is not None
+             else fit([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]).astype(np.float32))
+    min_len = (np.full(n, set_min_len, np.int32) if set_min_len is not None
+               else fit([5] * 8 + [10] * 8 + [15] * 8 + [20] * 8 + [30] * 8).astype(np.int32))
+    max_len = (np.full(n, set_max_len, np.int32) if set_max_len is not None
+               else fit([20] * 8 + [30] * 8 + [30] * 8 + [45] * 8 + [45] * 8).astype(np.int32))
     return top_p, min_len, max_len
 
 
@@ -126,6 +129,7 @@ def ranker_preprocess(engine: SynthesisEngine, name: str, image):
     from ..data.preprocessing import blip_preprocess, clip_preprocess
 
     if name == "blip":
-        return blip_preprocess(image)
+        size = engine.blip_ranker.vit_cfg.image_size if engine.blip_ranker else 384
+        return blip_preprocess(image, image_size=size)
     ranker = engine.clip_rankers[name]
     return clip_preprocess(image, image_size=ranker.vit_cfg.image_size)

@@ -85,6 +85,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save_every_steps", type=int, default=10000)
     p.add_argument("--validation_interval", type=float, default=1000)
     p.add_argument("--limit_val_batches", type=int, default=100)
+    p.add_argument("--val_clip_model", default="ViT-B/32")
+    p.add_argument("--val_clip_checkpoint", default=None)
+    p.add_argument("--clip_merges", default=None)
     p.add_argument("--log_every_n_steps", type=int, default=5)
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_project", default="CLIP-Image-Captioning")
@@ -303,12 +306,61 @@ def train(args) -> dict:
 
 
 def _build_validator(args, cap_cfg, lm_cfg, tokenizer, vit_cfg, preprocess):
-    """Wire the COCO validator (reference train.py:203-234). Requires CLIP
-    scoring assets; degrades to loss-only validation without them."""
-    # Validation with CLIP scoring needs CLIP checkpoints; the training CLI
-    # keeps this optional — evaluate_model CLI offers the full validator.
-    print("validation wiring: use cli/evaluate.py for full CLIP-scored validation")
-    return None
+    """Wire the COCO validator (reference train.py:203-234): CLIP ViT-B/32
+    scoring + no-beam and clip-guided samplers over the validation set.
+    Needs --val_clip_checkpoint/--clip_merges; otherwise validation is
+    skipped with a notice (CLIP assets are pretrained files)."""
+    if not getattr(args, "val_clip_checkpoint", None) or not getattr(args, "clip_merges", None):
+        print("no --val_clip_checkpoint/--clip_merges: skipping CLIP-scored "
+              "validation (use cli/evaluate.py post-hoc)")
+        return None
+
+    import jax
+
+    from ..data.coco import CocoImageDataset, FolderImageDataset
+    from ..eval.clip_scoring import ClipScoring
+    from ..eval.samplers import ClipGuidedCaptionSampler, NoBeamCaptionSampler
+    from ..eval.validator import CocoCaptionValidator
+    from ..models.bundle import CaptionerBundle
+    from .loading import load_clip_ranker
+
+    if args.valid_json_path:
+        dataset = CocoImageDataset(args.valid_json_path, args.valid_image_folder_path,
+                                   replace_extension=args.replace_extension)
+    elif args.valid_image_folder_path:
+        dataset = FolderImageDataset(args.valid_image_folder_path)
+    else:
+        return None
+
+    ranker = load_clip_ranker(args.val_clip_model, args.val_clip_checkpoint,
+                              args.clip_merges)
+    scoring = ClipScoring(ranker.vit_params, ranker.vit_cfg, ranker.text_params,
+                          ranker.text_cfg, ranker.tokenizer)
+    validator = CocoCaptionValidator(
+        dataset, preprocess,
+        {
+            "nobeam": NoBeamCaptionSampler(top_p_values=[0.1, 0.2]),
+            "clip_guided": ClipGuidedCaptionSampler(scoring, branching_factor=2,
+                                                    look_ahead=4),
+        },
+        scoring,
+    )
+    limit = args.limit_val_batches
+
+    def validate_fn(state):
+        bundle = CaptionerBundle(
+            params=jax.device_get(state.params), cap_cfg=cap_cfg, lm_cfg=lm_cfg,
+            tokenizer=tokenizer, vit_cfg=vit_cfg,
+        )
+        validator.reset()
+        for i in range(min(limit, len(dataset))):
+            item = dataset[i]
+            if item is not None:
+                validator.process(bundle, [item])
+        results = validator.get_results()
+        return {k: v for k, v in results.items() if k != "captions"}
+
+    return validate_fn
 
 
 def main(argv=None):
