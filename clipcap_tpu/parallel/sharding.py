@@ -16,13 +16,13 @@ The TPU-native replacement for the reference's distribution options:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.mesh import DATA_AXIS, MODEL_AXIS
+from ..core.mesh import DATA_AXIS
 
 
 def _zero_spec(shape, data_size: int, min_size: int) -> P:

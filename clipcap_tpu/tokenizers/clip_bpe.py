@@ -11,7 +11,6 @@ are identical).
 
 from __future__ import annotations
 
-import functools
 import gzip
 import html
 from pathlib import Path

@@ -12,7 +12,6 @@ Mirrors the surface the Gen-B code uses from BLIP's HF tokenizer
 from __future__ import annotations
 
 import unicodedata
-from pathlib import Path
 from typing import List, Sequence
 
 
