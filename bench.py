@@ -19,7 +19,7 @@ import json
 import time
 
 
-BATCH = 128
+BATCH = 256
 PREFIX_LEN = 40  # reference config #2: prefix_length=40
 NEW_TOKENS = 32  # typical caption length
 BASELINE_CAPTIONS_PER_SEC = 50.0  # BASELINE.md north-star target

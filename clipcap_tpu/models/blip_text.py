@@ -209,23 +209,35 @@ def _forward_cached(params, cfg: BlipTextConfig, tokens, cache: KVCache):
     kpos = jnp.arange(max_len)[None, :]
     bias = jnp.where(kpos <= qpos, 0.0, NEG_INF)[None, None]
 
-    def body(x, xs):
-        layer, k_c, v_c, ck, cv = xs
+    # cache rides in the scan carry with in-place slab writes — see
+    # models/gpt2.py:_forward_cached for the layout rationale
+    def body(carry, xs):
+        x, k_cache, v_cache = carry
+        layer, ck, cv, l = xs
         h_q = x
         q = (jnp.dot(h_q, layer["self"]["wq"]) + layer["self"]["bq"]).reshape(b, t, heads, dh)
         k = (jnp.dot(h_q, layer["self"]["wk"]) + layer["self"]["bk"]).reshape(b, t, heads, dh)
         v = (jnp.dot(h_q, layer["self"]["wv"]) + layer["self"]["bv"]).reshape(b, t, heads, dh)
-        k_c = jax.lax.dynamic_update_slice(k_c, k.astype(k_c.dtype), (0, idx, 0, 0))
-        v_c = jax.lax.dynamic_update_slice(v_c, v.astype(v_c.dtype), (0, idx, 0, 0))
-        x = _finish_attention(x, q, k_c, v_c, layer["self"], bias, eps)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k[None].astype(k_cache.dtype), (l, 0, idx, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v[None].astype(v_cache.dtype), (l, 0, idx, 0, 0)
+        )
+        keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
+        vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
+        x = _finish_attention(x, q, keys, vals, layer["self"], bias, eps)
         # cross-attention with precomputed K/V
         q2 = (jnp.dot(x, layer["cross"]["wq"]) + layer["cross"]["bq"]).reshape(b, t, heads, dh)
         x = _finish_attention(x, q2, ck, cv, layer["cross"], cache.cross_bias, eps)
         x = _ffn(x, layer["mlp"], eps)
-        return x, (k_c, v_c)
+        return (x, k_cache, v_cache), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v)
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body,
+        (x, cache.k, cache.v),
+        (params["blocks"], cache.cross_k, cache.cross_v,
+         jnp.arange(cfg.num_layers)),
     )
     logits = lm_logits(params, cfg, x)
     return logits, cache._replace(k=new_k, v=new_v, index=idx + t)

@@ -79,15 +79,9 @@ def embedding_size(params: dict) -> int:
     return params["wte"].shape[1]
 
 
-def _block(
-    x: jnp.ndarray,
-    layer: dict,
-    bias: jnp.ndarray,
-    cfg: GPT2Config,
-    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-    cache_index: Optional[jnp.ndarray] = None,
-):
-    """One pre-LN GPT-2 block. Returns (x, (k_cache, v_cache))."""
+def _block(x: jnp.ndarray, layer: dict, bias: jnp.ndarray, cfg: GPT2Config):
+    """One pre-LN GPT-2 block (uncached path; the cached variant lives in
+    _forward_cached with the carry-resident cache)."""
     b, t, d = x.shape
     h_heads, dh = cfg.n_head, d // cfg.n_head
 
@@ -98,26 +92,14 @@ def _block(
     k = k.reshape(b, t, h_heads, dh)
     v = v.reshape(b, t, h_heads, dh)
 
-    if cache_kv is not None:
-        k_cache, v_cache = cache_kv
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
-        keys, vals = k_cache, v_cache
-        new_cache = (k_cache, v_cache)
-    else:
-        keys, vals = k, v
-        new_cache = None
-
-    attn = dot_product_attention(q, keys, vals, bias=bias)
-    attn = attn.reshape(b, t, d)
+    attn = dot_product_attention(q, k, v, bias=bias).reshape(b, t, d)
     x = x + jnp.dot(attn, layer["attn"]["c_proj"]["w"]) + layer["attn"]["c_proj"]["b"]
 
     h = layer_norm(x, layer["ln2"]["g"], layer["ln2"]["b"], eps=cfg.layer_norm_epsilon)
     h = jnp.dot(h, layer["mlp"]["c_fc"]["w"]) + layer["mlp"]["c_fc"]["b"]
     h = gelu_new(h)
     h = jnp.dot(h, layer["mlp"]["c_proj"]["w"]) + layer["mlp"]["c_proj"]["b"]
-    x = x + h
-    return x, new_cache
+    return x + h
 
 
 def apply(
@@ -149,8 +131,7 @@ def apply(
         body = jax.checkpoint(body)
 
     def scan_fn(carry, layer):
-        out, _ = body(carry, layer, bias)
-        return out, None
+        return body(carry, layer, bias), None
 
     x, _ = jax.lax.scan(scan_fn, x, params["blocks"])
     x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], eps=cfg.layer_norm_epsilon)
@@ -172,13 +153,24 @@ def _forward_cached(
     inputs_embeds: jnp.ndarray,  # [B, T, D]
     cache: KVCache,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Shared prefill/step forward writing into the fixed-shape cache."""
+    """Shared prefill/step forward writing into the fixed-shape cache.
+
+    TPU-critical layout: the FULL stacked cache rides in the layer-scan
+    *carry* and each layer writes only its new [1,B,T,H,Dh] slab with
+    dynamic_update_slice. Passing per-layer cache slices through scan
+    xs/ys instead makes XLA accumulate a fresh cache (plus a ping-pong
+    copy in the decode loop) — measured 1.6x slower and 2x the HBM for
+    GPT2-XL decode.
+    """
     b, t, d = inputs_embeds.shape
+    h_heads, dh = cfg.n_head, d // cfg.n_head
     max_len = cache.k.shape[2]
     idx = cache.index
 
     positions = idx + jnp.arange(t)
-    x = inputs_embeds + jnp.take(params["wpe"], positions, axis=0)[None]
+    x = inputs_embeds + jnp.take(params["wpe"], positions, axis=0)[None].astype(
+        inputs_embeds.dtype
+    )
 
     # causal-over-cache bias: query at absolute position idx+i attends keys <= it
     qpos = idx + jnp.arange(t)[:, None]  # [T, 1]
@@ -186,11 +178,35 @@ def _forward_cached(
     bias = jnp.where(kpos <= qpos, 0.0, NEG_INF)[None, None]  # [1,1,T,maxT]
 
     def scan_fn(carry, xs):
-        layer, k_c, v_c = xs
-        out, (k_c, v_c) = _block(carry, layer, bias, cfg, cache_kv=(k_c, v_c), cache_index=idx)
-        return out, (k_c, v_c)
+        x, k_cache, v_cache = carry
+        layer, l = xs
+        h = layer_norm(x, layer["ln1"]["g"], layer["ln1"]["b"], eps=cfg.layer_norm_epsilon)
+        qkv = jnp.dot(h, layer["attn"]["c_attn"]["w"]) + layer["attn"]["c_attn"]["b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h_heads, dh)
+        k = k.reshape(b, t, h_heads, dh)
+        v = v.reshape(b, t, h_heads, dh)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k[None].astype(k_cache.dtype), (l, 0, idx, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v[None].astype(v_cache.dtype), (l, 0, idx, 0, 0)
+        )
+        keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
+        vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
+        attn = dot_product_attention(q, keys, vals, bias=bias).reshape(b, t, d)
+        x = x + jnp.dot(attn, layer["attn"]["c_proj"]["w"]) + layer["attn"]["c_proj"]["b"]
+        h = layer_norm(x, layer["ln2"]["g"], layer["ln2"]["b"], eps=cfg.layer_norm_epsilon)
+        h = jnp.dot(h, layer["mlp"]["c_fc"]["w"]) + layer["mlp"]["c_fc"]["b"]
+        h = gelu_new(h)
+        h = jnp.dot(h, layer["mlp"]["c_proj"]["w"]) + layer["mlp"]["c_proj"]["b"]
+        return (x + h, k_cache, v_cache), None
 
-    x, (new_k, new_v) = jax.lax.scan(scan_fn, x, (params["blocks"], cache.k, cache.v))
+    (x, new_k, new_v), _ = jax.lax.scan(
+        scan_fn,
+        (x, cache.k, cache.v),
+        (params["blocks"], jnp.arange(cfg.n_layer)),
+    )
     x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], eps=cfg.layer_norm_epsilon)
     logits = jnp.dot(x, params["wte"].T)
     return logits, KVCache(k=new_k, v=new_v, index=idx + t)

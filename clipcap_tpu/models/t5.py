@@ -290,18 +290,27 @@ def _decoder_cached(params, cfg: T5Config, dec_embeds, cache: KVCache):
     causal = jnp.where(kpos[None, :] <= qpos[:, None], 0.0, NEG_INF)[None, None]
     self_bias = self_bias + causal
 
-    def body(x, xs):
-        layer, k_c, v_c = xs
+    # cache rides in the scan carry with in-place slab writes — see
+    # models/gpt2.py:_forward_cached for the layout rationale
+    def body(carry, xs):
+        x, k_cache, v_cache = carry
+        layer, l = xs
         h = rms_norm(x, layer["ln1"]["g"], eps=cfg.layer_norm_epsilon)
         q = jnp.dot(h, layer["self_attn"]["wq"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
         k = jnp.dot(h, layer["self_attn"]["wk"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
         v = jnp.dot(h, layer["self_attn"]["wv"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
-        k_c = jax.lax.dynamic_update_slice(k_c, k.astype(k_c.dtype), (0, idx, 0, 0))
-        v_c = jax.lax.dynamic_update_slice(v_c, v.astype(v_c.dtype), (0, idx, 0, 0))
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_c, preferred_element_type=jnp.float32)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k[None].astype(k_cache.dtype), (l, 0, idx, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v[None].astype(v_cache.dtype), (l, 0, idx, 0, 0)
+        )
+        keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
+        vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, keys, preferred_element_type=jnp.float32)
         logits = logits + self_bias.astype(jnp.float32)
-        w = jax.nn.softmax(logits, axis=-1).astype(v_c.dtype)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", w, v_c).reshape(b, t, -1)
+        w = jax.nn.softmax(logits, axis=-1).astype(vals.dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", w, vals).reshape(b, t, -1)
         x = x + jnp.dot(attn, layer["self_attn"]["wo"])
 
         h = rms_norm(x, layer["ln2"]["g"], eps=cfg.layer_norm_epsilon)
@@ -309,9 +318,13 @@ def _decoder_cached(params, cfg: T5Config, dec_embeds, cache: KVCache):
                         cfg.d_kv, cache.enc_bias)
         h = rms_norm(x, layer["ln3"]["g"], eps=cfg.layer_norm_epsilon)
         x = x + _mlp(h, layer["mlp"], cfg)
-        return x, (k_c, v_c)
+        return (x, k_cache, v_cache), None
 
-    x, (new_k, new_v) = jax.lax.scan(body, dec_embeds, (params["decoder"]["blocks"], cache.k, cache.v))
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body,
+        (dec_embeds, cache.k, cache.v),
+        (params["decoder"]["blocks"], jnp.arange(cfg.num_decoder_layers)),
+    )
     x = rms_norm(x, params["decoder"]["ln_f"]["g"], eps=cfg.layer_norm_epsilon)
     logits = _lm_logits(params, cfg, x)
     return logits, KVCache(new_k, new_v, cache.enc_hidden, cache.enc_bias, idx + t)
