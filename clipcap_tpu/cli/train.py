@@ -357,8 +357,7 @@ def _build_validator(args, cap_cfg, lm_cfg, tokenizer, vit_cfg, preprocess):
             item = dataset[i]
             if item is not None:
                 validator.process(bundle, [item])
-        results = validator.get_results()
-        return {k: v for k, v in results.items() if k != "captions"}
+        return validator.get_results()  # "captions" feeds the sample table
 
     return validate_fn
 

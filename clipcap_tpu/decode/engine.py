@@ -159,13 +159,20 @@ def generate(
 
         # ---- completion logic -------------------------------------------------
         completed = jnp.zeros((b,), bool)
+        over_length = jnp.zeros((b,), bool)
         eos_lp = jnp.zeros((b,), jnp.float32)
         if settings.eos_token_id is not None:
             eos_lp = raw_logp[:, settings.eos_token_id]
             completed |= next_token == settings.eos_token_id
-            completed |= max_len <= step
+            # the reference splices length-capped rows out BEFORE appending
+            # the sampled token (sampling.py:811-830), so this step's token
+            # is suppressed, not emitted
+            over_length = max_len <= step
+            completed |= over_length
             if settings.force_eos_log_prob < 0:
-                completed |= eos_lp > settings.force_eos_log_prob
+                force_eos = eos_lp > settings.force_eos_log_prob
+                completed |= force_eos
+                over_length = over_length | force_eos  # suppress this token too
 
             # alternate-token continuation (reference sampling.py:240-250)
             if settings.min_alternate_prob > 0 and not settings.greedy:
@@ -185,11 +192,12 @@ def generate(
         for sid in settings.stop_on_special:
             completed |= next_token == sid
 
-        emitted = jnp.where(stopped, settings.pad_token_id, next_token)
+        suppress = stopped | over_length
+        emitted = jnp.where(suppress, settings.pad_token_id, next_token)
         # history gets real tokens only while the row is live
         hist = hist.at[:, n_prompt_tok + step].set(emitted)
-        hist_valid = hist_valid.at[:, n_prompt_tok + step].set(~stopped)
-        newly_live = ~stopped
+        hist_valid = hist_valid.at[:, n_prompt_tok + step].set(~suppress)
+        newly_live = ~suppress
         stopped = stopped | completed
 
         if token_mode:

@@ -127,6 +127,7 @@ def preprocess_dataset(
     use_all_vit_features: bool = False,
     encode_fn: Optional[Callable] = None,
     image_size: Optional[int] = None,
+    num_prepro_workers: int = 0,
 ) -> dict:
     """Run preprocessing; returns {"samples": n, "shards": k, "ips": rate}."""
     import jax.numpy as jnp
@@ -174,13 +175,28 @@ def preprocess_dataset(
         n_samples += len(batch_imgs)
         batch_imgs, batch_toks = [], []
 
-    for img, caption in iter_pairs(input_dataset, input_format, wds_image_key, wds_caption_key):
-        batch_imgs.append(
-            clip_preprocess(img, image_size=image_size, do_normalize=False)
-        )
+    def prep(pair):
+        img, caption = pair
+        pixels = clip_preprocess(img, image_size=image_size, do_normalize=False)
         toks = tokenizer.encode_text(caption, max_token_length=max_token_length,
                                      add_bos=True, add_eos=True)
-        batch_toks.append(pad_tokens(toks, max_token_length))
+        return pixels, pad_tokens(toks, max_token_length)
+
+    pairs = iter_pairs(input_dataset, input_format, wds_image_key, wds_caption_key)
+    if num_prepro_workers > 0:
+        # parallel host decode/resize (the reference README's
+        # --num_prepro_workers, README.md:13); PIL releases the GIL in
+        # decode/resize so threads overlap with device dispatch
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=num_prepro_workers)
+        prepped = executor.map(prep, pairs, chunksize=8)
+    else:
+        prepped = map(prep, pairs)
+
+    for pixels, toks in prepped:
+        batch_imgs.append(pixels)
+        batch_toks.append(toks)
         if len(batch_imgs) >= batch_size:
             run_batch()
             if sum(p.shape[0] for p in shard_prefixes) >= shard_size:
@@ -208,6 +224,7 @@ def main(argv=None):
     p.add_argument("--tokenizer_model_type", default="gpt2")
     p.add_argument("--tokenizer_vocab_dir", required=True)
     p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--num_prepro_workers", type=int, default=0)
     p.add_argument("--max_token_length", type=int, default=128)
     p.add_argument("--shard_size", type=int, default=10000)
     p.add_argument("--use_all_vit_features", action="store_true")

@@ -74,6 +74,7 @@ def fit(
                 results = validate_fn(state)
                 logger.log({f"val/{k}": v for k, v in _flatten(results).items()},
                            step=global_step)
+                _log_caption_table(logger, results)
 
         if checkpoint_saver is not None:
             checkpoint_saver.on_epoch_end(
@@ -105,6 +106,27 @@ def _as_batch(item) -> dict:
         return out
     tokens, prefix = item
     return {"tokens": np.asarray(tokens), "prefix": np.asarray(prefix)}
+
+
+def _log_caption_table(logger, results, max_rows: int = 64):
+    """The validation caption table (reference model.py:102-130): one row
+    per (image, sampler, caption) with CLIP score and the first GT."""
+    captions = results.get("captions") if isinstance(results, dict) else None
+    if not captions:
+        return
+    columns = ["image_id", "image_url", "caption", "clip_score", "gt", "sampler_id"]
+    rows = []
+    for image in captions:
+        for sr in image.get("sampling_results", []):
+            for c in sr.get("captions", []):
+                rows.append([
+                    image.get("image_id"), image.get("image_url"),
+                    c.get("caption"), c.get("clip_score"), c.get("gt"),
+                    sr.get("sampler_id"),
+                ])
+                if len(rows) >= max_rows:
+                    break
+    logger.log_table("caption_samples", columns, rows)
 
 
 def _flatten(d, prefix=""):

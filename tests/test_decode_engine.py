@@ -103,7 +103,9 @@ def test_per_row_max_length(lm_params):
             max_length=jnp.asarray([3, 12]),
         ),
     )
-    assert int(out["lengths"][0]) == 4  # completes at step 3 (max_length <= step)
+    # reference semantics: the token sampled at the capped step is dropped
+    # (rows are spliced before the append, sampling.py:811-830)
+    assert int(out["lengths"][0]) == 3
     assert bool(out["stopped"][0])
 
 
