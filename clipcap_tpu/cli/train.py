@@ -143,6 +143,7 @@ def build_configs(args):
         gradient_clip_val=args.gradient_clip_val,
         accumulate_grad_batches=args.acc_grad_batches,
         remat=args.remat,
+        bf16_compute=args.use_16bit_precision,
         max_token_length=args.max_token_length,
         validation_interval=int(args.validation_interval),
         limit_val_batches=args.limit_val_batches,

@@ -247,6 +247,7 @@ class TrainConfig(_JsonMixin):
     total_steps: int = 10000
     autoclip_percentile: float = 10.0
     autoclip_history: int = 50000
+    bf16_compute: bool = True  # reference precision=16 (train.py:280) -> bf16 on TPU
     gradient_clip_val: float = -1.0  # <0 => AutoClip (reference train.py:283)
     accumulate_grad_batches: int = 1
     remat: bool = True  # activation checkpointing (reference train.py:200)

@@ -88,10 +88,25 @@ def make_train_step(
         return feats
 
     def loss_fn(params, mb):
-        prefix = mb["prefix"] if "prefix" in mb else encode_pixels(params, mb["pixels"])
-        return captioner.caption_loss(
-            params, cap_cfg, lm_cfg, mb["tokens"], prefix, remat=train_cfg.remat
+        if train_cfg.bf16_compute:
+            # mixed precision, TPU style (reference AMP fp16, train.py:280):
+            # master params stay f32; the forward sees bf16 casts (grads flow
+            # through the cast back to f32); losses/softmax stay f32 inside
+            # the models' accumulation policy
+            fwd_params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                params,
+            )
+        else:
+            fwd_params = params
+        prefix = mb["prefix"] if "prefix" in mb else encode_pixels(fwd_params, mb["pixels"])
+        prefix = prefix.astype(jnp.bfloat16) if train_cfg.bf16_compute else prefix
+        loss, metrics = captioner.caption_loss(
+            fwd_params, cap_cfg, lm_cfg, mb["tokens"], prefix, remat=train_cfg.remat
         )
+        return loss, metrics
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 

@@ -78,7 +78,7 @@ def _tiny_batch(rng, b=8, t=8):
 def test_loss_decreases_overfit():
     train_cfg = TrainConfig(
         optimizer_lr=3e-3, scheduler_warmup_steps=2, total_steps=400,
-        gradient_clip_val=-1.0, autoclip_history=64, remat=False,
+        gradient_clip_val=-1.0, autoclip_history=64, remat=False, bf16_compute=False,
     )
     state, tx = create_train_state(jax.random.PRNGKey(0), CAP_CFG, LM_CFG, train_cfg)
     step = make_train_step(CAP_CFG, LM_CFG, train_cfg, tx, donate=False)
@@ -140,10 +140,12 @@ def test_data_parallel_step_on_8_device_mesh():
 
 def test_grad_accumulation_matches_full_batch():
     train_cfg_full = TrainConfig(optimizer_lr=1e-3, scheduler_warmup_steps=2,
-                                 total_steps=20, gradient_clip_val=10.0, remat=False)
+                                 total_steps=20, gradient_clip_val=10.0, remat=False,
+                                 bf16_compute=False)
     train_cfg_acc = TrainConfig(optimizer_lr=1e-3, scheduler_warmup_steps=2,
                                 total_steps=20, gradient_clip_val=10.0,
-                                accumulate_grad_batches=2, remat=False)
+                                accumulate_grad_batches=2, remat=False,
+                                bf16_compute=False)
     b = _tiny_batch(np.random.default_rng(3), b=8)
     state, tx = create_train_state(jax.random.PRNGKey(1), CAP_CFG, LM_CFG, train_cfg_full)
     stepf = make_train_step(CAP_CFG, LM_CFG, train_cfg_full, tx, donate=False)
@@ -170,3 +172,22 @@ def test_checkpoint_roundtrip(tmp_path):
     cfg = load_config(str(path))
     assert cfg["captioner"]["lm_type"] == "gpt2"
     assert cfg["lm"]["n_embd"] == 32
+
+
+def test_bf16_compute_policy():
+    """use_16bit_precision equivalent: forward in bf16, master params f32."""
+    train_cfg = TrainConfig(optimizer_lr=1e-3, scheduler_warmup_steps=1,
+                            total_steps=20, gradient_clip_val=1.0, remat=False,
+                            bf16_compute=True)
+    state, tx = create_train_state(jax.random.PRNGKey(0), CAP_CFG, LM_CFG, train_cfg)
+    step = make_train_step(CAP_CFG, LM_CFG, train_cfg, tx, donate=False)
+    batch = jax.tree_util.tree_map(jnp.asarray, _tiny_batch(np.random.default_rng(4)))
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # still learns
+    # master params stay f32
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
