@@ -72,6 +72,7 @@ def main():
     captions_per_sec = BATCH / p50
 
     vit_ips = _bench_vit_preprocess()
+    vit_ips_int8 = _bench_vit_preprocess(quantize=True)
 
     print(
         json.dumps(
@@ -87,14 +88,15 @@ def main():
                     "p50_batch_latency_ms": round(p50 * 1000, 1),
                     "dtype": "bfloat16",
                     "vit_b32_preprocess_images_per_sec": round(vit_ips, 1),
-                    "vit_b32_vs_10k_target": round(vit_ips / 10000.0, 3),
+                    "vit_b32_int8_images_per_sec": round(vit_ips_int8, 1),
+                    "vit_b32_vs_10k_target": round(max(vit_ips, vit_ips_int8) / 10000.0, 3),
                 },
             }
         )
     )
 
 
-def _bench_vit_preprocess(batch: int = 256, iters: int = 5) -> float:
+def _bench_vit_preprocess(batch: int = 256, iters: int = 5, quantize: bool = False) -> float:
     """Second headline (BASELINE.md): ViT-B/32 image-encode throughput —
     the device half of the webdataset->embedding-shards preprocessor."""
     import jax
@@ -107,6 +109,8 @@ def _bench_vit_preprocess(batch: int = 256, iters: int = 5) -> float:
     params = jax.jit(lambda k: vit.init(k, cfg, dtype=jnp.bfloat16))(
         jax.random.PRNGKey(0)
     )
+    if quantize:
+        params = jax.jit(vit.quantize_params)(params)
     pixels = jax.jit(
         lambda k: jax.random.normal(k, (batch, 3, 224, 224), jnp.bfloat16)
     )(jax.random.PRNGKey(1))

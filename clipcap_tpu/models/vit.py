@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import ViTConfig
+from ..ops import quant
 from ..ops.activations import gelu_exact, quick_gelu
 from ..ops.attention import dot_product_attention
 from ..ops.layernorm import layer_norm
@@ -100,7 +101,7 @@ def _block(x, layer, cfg: ViTConfig, act):
     heads, dh = cfg.heads, d // cfg.heads
 
     h = layer_norm(x, layer["ln1"]["g"], layer["ln1"]["b"], eps=cfg.layer_norm_epsilon)
-    qkv = jnp.dot(h, layer["attn"]["wqkv"]) + layer["attn"]["bqkv"]
+    qkv = quant.linear(h, layer["attn"]["wqkv"], layer["attn"]["bqkv"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, t, heads, dh)
     k = k.reshape(b, t, heads, dh)
@@ -111,12 +112,12 @@ def _block(x, layer, cfg: ViTConfig, act):
         attn = fused_attention(q, k, v).reshape(b, t, d)
     else:
         attn = dot_product_attention(q, k, v).reshape(b, t, d)
-    x = x + jnp.dot(attn, layer["attn"]["wo"]) + layer["attn"]["bo"]
+    x = x + quant.linear(attn, layer["attn"]["wo"], layer["attn"]["bo"])
 
     h = layer_norm(x, layer["ln2"]["g"], layer["ln2"]["b"], eps=cfg.layer_norm_epsilon)
-    h = jnp.dot(h, layer["mlp"]["w1"]) + layer["mlp"]["b1"]
+    h = quant.linear(h, layer["mlp"]["w1"], layer["mlp"]["b1"])
     h = act(h)
-    h = jnp.dot(h, layer["mlp"]["w2"]) + layer["mlp"]["b2"]
+    h = quant.linear(h, layer["mlp"]["w2"], layer["mlp"]["b2"])
     return x + h
 
 
@@ -131,9 +132,8 @@ def apply(
         output = "pooled" if cfg.style == "clip" else "tokens"
     act = quick_gelu if cfg.style == "clip" else gelu_exact
 
-    x = jnp.dot(patchify(pixels, cfg.patch_size), params["patch"]["w"])
-    if "b" in params["patch"]:
-        x = x + params["patch"]["b"]
+    x = quant.linear(patchify(pixels, cfg.patch_size), params["patch"]["w"],
+                     params["patch"].get("b"))
     b = x.shape[0]
     cls = jnp.broadcast_to(params["cls"][None, None], (b, 1, x.shape[-1])).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)
@@ -169,3 +169,34 @@ def apply(
     if output == "tokens":
         return ln_post(x)
     raise ValueError(f"unknown ViT output mode {output!r}")
+
+
+def quantize_params(params: dict) -> dict:
+    """Quantize the matmul weights to int8 (frozen-inference encode path).
+
+    Patchify, QKV, attention-out and MLP weights become
+    {"q": int8, "s": f32} dicts consumed by ops.quant.linear; layernorms,
+    embeddings and the output projection stay bf16/f32 (the projection is
+    tiny and feeds cosine similarities downstream).
+    """
+    import copy
+
+    out = dict(params)
+    out["patch"] = dict(params["patch"])
+    out["patch"]["w"] = quant.quantize_weight(params["patch"]["w"])
+    blocks = jax.tree_util.tree_map(lambda x: x, params["blocks"])  # shallow copy
+    blocks = {
+        **blocks,
+        "attn": {
+            **blocks["attn"],
+            "wqkv": quant.quantize_weight(params["blocks"]["attn"]["wqkv"]),
+            "wo": quant.quantize_weight(params["blocks"]["attn"]["wo"]),
+        },
+        "mlp": {
+            **blocks["mlp"],
+            "w1": quant.quantize_weight(params["blocks"]["mlp"]["w1"]),
+            "w2": quant.quantize_weight(params["blocks"]["mlp"]["w2"]),
+        },
+    }
+    out["blocks"] = blocks
+    return out
