@@ -59,12 +59,30 @@ class GenerationSettings:
     desired_sentence_length: int = 0  # 0 = off
     sentence_length_factor: float = 1.0
 
+    # TPU fast path: run top-k/top-p on the lax.top_k(N) candidate set
+    # instead of full-vocab sorts (exact while top_k <= N and the nucleus
+    # fits; see ops/sampling.top_k_top_p_filter). 0 = exact full-vocab.
+    vocab_prefilter: int = 0
+
     pad_token_id: int = 0
 
 
 def _rows(x: Scalar, b: int, dtype=jnp.float32):
     x = jnp.asarray(x, dtype)
     return jnp.broadcast_to(x, (b,)) if x.ndim == 0 else x.reshape(b)
+
+
+def _statically_active(x) -> bool:
+    """True unless the setting is concretely all-zero at trace time."""
+    if isinstance(x, (int, float)):
+        return x != 0
+    try:
+        import numpy as np
+
+        arr = np.asarray(x)  # concrete np/jnp values; raises on tracers
+        return bool((arr != 0).any())
+    except Exception:
+        return True  # traced values: assume active
 
 
 def generate(
@@ -109,7 +127,8 @@ def generate(
         hist = hist.at[:, :n_prompt_tok].set(prompt_tokens.astype(jnp.int32))
         hist_valid = hist_valid.at[:, :n_prompt_tok].set(True)
 
-    cache_dtype = jnp.float32 if token_mode else prompt_embeds.dtype
+    # token-id adapters pick their own cache dtype (from the image features)
+    cache_dtype = None if token_mode else prompt_embeds.dtype
     cache = lm.init_cache(lm_cfg, batch=b, max_len=p_len + n, dtype=cache_dtype)
     prefill_logits, cache = lm.prefill(params, lm_cfg, prompt_embeds, cache)
     last_logits = prefill_logits[:, -1].astype(jnp.float32)
@@ -135,8 +154,14 @@ def generate(
 
         t = settings.temperature
         logits = logits / (t if t > 0 else 1.0)
-        logits = S.top_k_top_p_filter(logits, top_k, top_p)
-        logits = S.typical_filter(logits, typ_p)
+        # static gating: skip filters whose settings are Python-level zeros —
+        # each active filter costs a full-vocab sort per step otherwise
+        if _statically_active(settings.top_k) or _statically_active(settings.top_p):
+            logits = S.top_k_top_p_filter(
+                logits, top_k, top_p, prefilter_k=settings.vocab_prefilter
+            )
+        if _statically_active(settings.typ_p):
+            logits = S.typical_filter(logits, typ_p)
 
         if settings.desired_sentence_length > 0 and settings.stop_token_id is not None:
             logits = S.sentence_length_penalty(

@@ -46,6 +46,7 @@ def sample(
     unique: bool = True,
     num_runs: int = 1,
     rng: Optional[jax.Array] = None,
+    vocab_prefilter: int = 4096,
 ):
     """Returns (captions, parameters, stats) like reference sampling.py:283.
 
@@ -87,6 +88,10 @@ def sample(
         max_length=max_len_v,
         force_eos_log_prob=float(force_eos_log_prob),
         min_alternate_prob=float(min_alternate_prob),
+        # the BERT vocab is 30k; per-step full-vocab sorts dominate decode
+        # time without this (exact while top_k <= prefilter and the nucleus
+        # fits — see ops/sampling.top_k_top_p_filter)
+        vocab_prefilter=int(vocab_prefilter),
         pad_token_id=0,
     )
 

@@ -265,7 +265,10 @@ def decoder_lm(
             encoder_attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
         )
 
-    def init_cache(cfg_, batch, max_len, dtype=jnp.float32):
+    def init_cache(cfg_, batch, max_len, dtype=None):
+        # activations follow the image features' dtype (bf16 on TPU); the
+        # engine's f32 token-mode fallback would silently upcast every layer
+        dtype = encoder_hidden_states.dtype if dtype is None else dtype
         l, h, dh = cfg.num_layers, cfg.num_heads, cfg.hidden_size // cfg.num_heads
         shape = (l, batch, max_len, h, dh)
         return KVCache(

@@ -54,6 +54,8 @@ def top_k_top_p_filter(
     top_k: Scalar = 0,
     top_p: Scalar = 0.0,
     filter_value: float = NEG_INF,
+    prefilter_k: int = 0,
+    _tail_lse=None,
 ) -> jnp.ndarray:
     """Batched top-k + nucleus filtering with per-sample parameters.
 
@@ -64,9 +66,38 @@ def top_k_top_p_filter(
     top_p semantics (reference sampling.py:149-160): p <= 0 disables; keeps
     the smallest set of top tokens whose cumulative probability exceeds p,
     always including the first token above the threshold.
+
+    prefilter_k > 0 is the TPU fast path for large vocabularies: the filter
+    logic runs on the lax.top_k(prefilter_k) candidate set instead of a
+    full-vocab sort (sorts dominate big-vocab decode steps). Exact whenever
+    every top_k <= prefilter_k (fractional top_k excluded) and the nucleus
+    boundary lies within the candidate set — tokens beyond it carry the
+    tail probability mass and are removed by either semantics.
     """
     batch, vocab = logits.shape
     logits = logits.astype(jnp.float32)
+
+    if prefilter_k and prefilter_k < vocab:
+        # resolve fractional top_k against the TRUE vocab before reducing
+        k_in = _per_row(top_k, batch)
+        k_abs = jnp.where(
+            (k_in > 0) & (k_in < 1),
+            jnp.maximum(1.0, jnp.floor(k_in * vocab)),
+            k_in,
+        )
+        vals, idx = jax.lax.top_k(logits, prefilter_k)  # [B, N] descending
+        # nucleus denominators must include the probability mass of the
+        # excluded tail for rows WITHOUT an active top-k (an active top-k
+        # <= N removes the tail anyway, matching the full-vocab semantics)
+        lse_full = jax.scipy.special.logsumexp(logits, axis=-1)
+        lse_top = jax.scipy.special.logsumexp(vals, axis=-1)
+        delta = jnp.clip(lse_top - lse_full, None, -1e-9)
+        tail_lse = lse_full + jnp.log1p(-jnp.exp(delta))
+        tail_lse = jnp.where(k_abs > 0, -jnp.inf, tail_lse)
+        filtered = top_k_top_p_filter(vals, k_abs, top_p, filter_value,
+                                      prefilter_k=0, _tail_lse=tail_lse)
+        full = jnp.full((batch, vocab), filter_value, jnp.float32)
+        return full.at[jnp.arange(batch)[:, None], idx].set(filtered)
 
     k = _per_row(top_k, batch)
     p = _per_row(top_p, batch)
@@ -88,7 +119,13 @@ def top_k_top_p_filter(
     # recompute sorted view of the (possibly top-k-filtered) logits
     sorted_idx = jnp.argsort(-logits, axis=-1)
     sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    if _tail_lse is None:
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+    else:
+        # prefilter fast path: normalize against the full-vocab mass
+        lse_here = jax.scipy.special.logsumexp(sorted_logits, axis=-1)
+        denom = jnp.logaddexp(lse_here, _tail_lse)
+        probs = jnp.exp(sorted_logits - denom[:, None])
     cum = jnp.cumsum(probs, axis=-1)
     remove = cum > p[:, None]
     # shift right so the first token crossing the threshold is kept

@@ -159,3 +159,27 @@ def test_sample_categorical_distribution():
     # two samples without replacement must differ
     assert np.all(np.asarray(samples[:, 0]) != np.asarray(samples[:, 1]))
     assert (np.asarray(samples[:, 0]) == 1).mean() > 0.9
+
+
+def test_prefilter_matches_full_sort():
+    """The lax.top_k prefilter path must equal the full-vocab filter when
+    top_k fits and the nucleus is inside the candidate set."""
+    torch.manual_seed(7)
+    logits = torch.randn(4, 200) * 3
+    top_k = torch.tensor([0.0, 5.0, 0.05, 50.0])  # incl. fractional (of 200)
+    top_p = torch.tensor([0.9, 0.5, 0.0, 0.7])
+    full = sampling.top_k_top_p_filter(
+        jnp.asarray(logits.numpy()), jnp.asarray(top_k.numpy()), jnp.asarray(top_p.numpy())
+    )
+    fast = sampling.top_k_top_p_filter(
+        jnp.asarray(logits.numpy()), jnp.asarray(top_k.numpy()), jnp.asarray(top_p.numpy()),
+        prefilter_k=64,
+    )
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(full), atol=1e-5)
+
+
+def test_prefilter_noop_when_larger_than_vocab():
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(2, 50)).astype(np.float32))
+    a = sampling.top_k_top_p_filter(logits, 5, 0.8)
+    b = sampling.top_k_top_p_filter(logits, 5, 0.8, prefilter_k=512)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
