@@ -51,6 +51,7 @@ class NoBeamCaptionSampler(CaptionSamplerBase):
         max_stops: int = 3,
         stop_token: str = ".",
         seed: int = 0,
+        vocab_prefilter: int = 4096,
     ):
         self.top_p_values = list(top_p_values)
         self.temperature = temperature
@@ -59,6 +60,7 @@ class NoBeamCaptionSampler(CaptionSamplerBase):
         self.max_stops = max_stops
         self.stop_token = stop_token
         self.seed = seed
+        self.vocab_prefilter = vocab_prefilter
 
     def get_description(self):
         return (
@@ -84,6 +86,7 @@ class NoBeamCaptionSampler(CaptionSamplerBase):
             stop_token_id=stop_id,
             max_stops=self.max_stops,
             stop_on_special=tuple(tokenizer.all_special_ids),
+            vocab_prefilter=self.vocab_prefilter,
         )
         out = generate(
             bundle.lm, bundle.params["lm"], bundle.lm_cfg, prompt, settings,
