@@ -10,31 +10,9 @@ from clipcap_tpu.ops.attention import dot_product_attention
 
 def fused_interpret(q, k, v):
     """Run the kernel in Pallas interpret mode (no TPU needed)."""
-    import functools
+    from clipcap_tpu.ops.pallas.fused_attention import fused_attention
 
-    from jax.experimental import pallas as pl
-
-    import importlib
-
-    # the package attribute `fused_attention` is the function; fetch the module
-    fa_mod = importlib.import_module("clipcap_tpu.ops.pallas.fused_attention")
-
-    b, t, h, dh = q.shape
-    scale = dh**-0.5
-
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, t, dh)
-
-    spec = pl.BlockSpec((1, t, dh), lambda i: (i, 0, 0))
-    out = pl.pallas_call(
-        functools.partial(fa_mod._attn_kernel, scale=scale),
-        grid=(b * h,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, t, dh), q.dtype),
-        interpret=True,
-    )(to_bh(q), to_bh(k), to_bh(v))
-    return out.reshape(b, h, t, dh).transpose(0, 2, 1, 3)
+    return fused_attention(q, k, v, interpret=True)
 
 
 @pytest.mark.parametrize("shape", [(2, 50, 4, 64), (1, 128, 2, 64)])
