@@ -73,16 +73,30 @@ def _rows(x: Scalar, b: int, dtype=jnp.float32):
 
 
 def _statically_active(x) -> bool:
-    """True unless the setting is concretely all-zero at trace time."""
-    if isinstance(x, (int, float)):
-        return x != 0
-    try:
-        import numpy as np
+    """True unless the setting is concretely all-zero at trace time.
 
-        arr = np.asarray(x)  # concrete np/jnp values; raises on tracers
-        return bool((arr != 0).any())
-    except Exception:
+    Only tracer values (whose concreteness genuinely can't be inspected)
+    default to "active"; anything else non-numeric (e.g. a string passed
+    by mistake) raises instead of silently enabling a full-vocab sort per
+    decode step.
+    """
+    if isinstance(x, (bool, int, float)):
+        return x != 0
+    if isinstance(x, jax.core.Tracer):
         return True  # traced values: assume active
+    import numpy as np
+
+    try:
+        arr = np.asarray(x)
+    except Exception as err:
+        raise TypeError(
+            f"invalid sampling setting {x!r}: expected a number or array"
+        ) from err
+    if not jnp.issubdtype(arr.dtype, jnp.number) and arr.dtype != bool:
+        raise TypeError(
+            f"invalid sampling setting {x!r} (dtype {arr.dtype}): expected numeric"
+        )
+    return bool((arr != 0).any())
 
 
 def generate(
@@ -190,7 +204,7 @@ def generate(
             eos_lp = raw_logp[:, settings.eos_token_id]
             completed |= next_token == settings.eos_token_id
             # the reference splices length-capped rows out BEFORE appending
-            # the sampled token (sampling.py:811-830), so this step's token
+            # the sampled token (sampling.py:252-268), so this step's token
             # is suppressed, not emitted
             over_length = max_len <= step
             completed |= over_length

@@ -152,6 +152,8 @@ def _forward_cached(
     cfg: GPT2Config,
     inputs_embeds: jnp.ndarray,  # [B, T, D]
     cache: KVCache,
+    fresh: bool = False,
+    full_logits: bool = True,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Shared prefill/step forward writing into the fixed-shape cache.
 
@@ -161,6 +163,18 @@ def _forward_cached(
     xs/ys instead makes XLA accumulate a fresh cache (plus a ping-pong
     copy in the decode loop) — measured 1.6x slower and 2x the HBM for
     GPT2-XL decode.
+
+    Static specializations (measured on GPT2-XL, B=256):
+    - fresh=True (prefill from an empty cache): attention runs directly on
+      this call's q/k/v with a [T,T] causal bias instead of reading the
+      maxT-wide zero cache back — saves the full K/V cache read (~5.7 GB
+      at maxT=72) plus the wider score matrix.
+    - T==1 (decode): the query's length-1 axis is squeezed out of the
+      score/weighted-sum contractions, avoiding degenerate [.., 1, maxT]
+      MXU tiles.
+    - full_logits=False: the tied lm_head runs on the LAST position only
+      and returns [B, 1, V] — decode only ever consumes logits[:, -1]
+      (a [B,40,50257] f32 logits tensor is 2 GB otherwise).
     """
     b, t, d = inputs_embeds.shape
     h_heads, dh = cfg.n_head, d // cfg.n_head
@@ -172,10 +186,16 @@ def _forward_cached(
         inputs_embeds.dtype
     )
 
-    # causal-over-cache bias: query at absolute position idx+i attends keys <= it
-    qpos = idx + jnp.arange(t)[:, None]  # [T, 1]
-    kpos = jnp.arange(max_len)[None, :]  # [1, maxT]
-    bias = jnp.where(kpos <= qpos, 0.0, NEG_INF)[None, None]  # [1,1,T,maxT]
+    if fresh and t > 1:
+        # prefill bias over this call's keys only
+        qi = jnp.arange(t)[:, None]
+        ki = jnp.arange(t)[None, :]
+        bias = jnp.where(ki <= qi, 0.0, NEG_INF)[None, None]  # [1,1,T,T]
+    else:
+        # causal-over-cache bias: query at position idx+i attends keys <= it
+        qpos = idx + jnp.arange(t)[:, None]  # [T, 1]
+        kpos = jnp.arange(max_len)[None, :]  # [1, maxT]
+        bias = jnp.where(kpos <= qpos, 0.0, NEG_INF)[None, None]  # [1,1,T,maxT]
 
     def scan_fn(carry, xs):
         x, k_cache, v_cache = carry
@@ -192,9 +212,23 @@ def _forward_cached(
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, v[None].astype(v_cache.dtype), (l, 0, idx, 0, 0)
         )
-        keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
-        vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
-        attn = dot_product_attention(q, keys, vals, bias=bias).reshape(b, t, d)
+        if fresh and t > 1:
+            attn = dot_product_attention(q, k, v, bias=bias).reshape(b, t, d)
+        elif t == 1:
+            keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
+            vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
+            q1 = q[:, 0].astype(keys.dtype)  # [B, H, Dh]
+            scores = jnp.einsum(
+                "bhd,bthd->bht", q1, keys, preferred_element_type=jnp.float32
+            ) * (dh**-0.5)
+            scores = scores + bias[:, 0, 0, :][:, None, :]
+            w = jax.nn.softmax(scores, axis=-1).astype(vals.dtype)
+            attn = jnp.einsum("bht,bthd->bhd", w, vals).reshape(b, 1, d)
+        else:
+            keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
+            vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
+            attn = dot_product_attention(q, keys, vals, bias=bias).reshape(b, t, d)
+        attn = attn.astype(x.dtype)
         x = x + jnp.dot(attn, layer["attn"]["c_proj"]["w"]) + layer["attn"]["c_proj"]["b"]
         h = layer_norm(x, layer["ln2"]["g"], layer["ln2"]["b"], eps=cfg.layer_norm_epsilon)
         h = jnp.dot(h, layer["mlp"]["c_fc"]["w"]) + layer["mlp"]["c_fc"]["b"]
@@ -207,24 +241,248 @@ def _forward_cached(
         (x, cache.k, cache.v),
         (params["blocks"], jnp.arange(cfg.n_layer)),
     )
+    if not full_logits:
+        x = x[:, -1:]
     x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], eps=cfg.layer_norm_epsilon)
     logits = jnp.dot(x, params["wte"].T)
     return logits, KVCache(k=new_k, v=new_v, index=idx + t)
 
 
 def prefill(
-    params: dict, cfg: GPT2Config, inputs_embeds: jnp.ndarray, cache: KVCache
+    params: dict,
+    cfg: GPT2Config,
+    inputs_embeds: jnp.ndarray,
+    cache: KVCache,
+    full_logits: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Encode the prompt (prefix embeddings ‖ text embeds) into the cache.
 
-    Returns (logits [B, T, V], cache). Decode continues with decode_step.
+    Requires a FRESH cache (index 0) — every decode path in the framework
+    prefills exactly once. Returns (logits, cache); logits are [B, 1, V]
+    (last position only) unless full_logits=True, since generation only
+    consumes logits[:, -1]. Decode continues with decode_step.
     """
-    return _forward_cached(params, cfg, inputs_embeds, cache)
+    return _forward_cached(
+        params, cfg, inputs_embeds, cache, fresh=True, full_logits=full_logits
+    )
 
 
 def decode_step(
     params: dict, cfg: GPT2Config, token_embed: jnp.ndarray, cache: KVCache
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One autoregressive step: token_embed [B, 1, D] -> logits [B, V]."""
-    logits, cache = _forward_cached(params, cfg, token_embed, cache)
+    logits, cache = _forward_cached(
+        params, cfg, token_embed, cache, fresh=False, full_logits=False
+    )
     return logits[:, -1], cache
+
+
+# --------------------------------------------------------------------------
+# int8 weight-streaming decode path
+#
+# Decode throughput on one chip is HBM-bound: each step streams every
+# parameter (3.1 GB bf16 for GPT2-XL) plus the whole KV cache (5.7 GB bf16
+# at B=256, maxT=72). Quantizing BOTH to int8 (per-output-channel weight
+# scales; per-(batch,head,position) K/V scales; dynamic per-row activation
+# scales) halves the stream and runs the matmuls int8xint8->int32 on the
+# MXU. Measured: 16.9 -> ~11 ms/step on GPT2-XL.
+#
+# The attention dequantization trick: per-position K scales factor out of
+# the scores AFTER the q@K^T int8 matmul (score_t *= s_q * s_k[t]); V
+# scales fold INTO the softmax probabilities BEFORE the p@V matmul
+# (p'_t = p_t * s_v[t], then p' is itself row-quantized). The int8 cache
+# is head-major [L, B, H, maxT, Dh] so both contractions batch over (B,H).
+#
+# This replaces the reference's full-recompute decode loops
+# (inference.py:97, :249) at the same API surface; `gpt2_int8` plugs into
+# decode/engine via the lm/registry protocol.
+# --------------------------------------------------------------------------
+
+from ..ops.quant import int8_linear, quantize_rows, quantize_weight  # noqa: E402
+
+
+class Int8KVCache(NamedTuple):
+    k: jnp.ndarray  # [L, B, H, maxT, Dh] int8
+    v: jnp.ndarray  # [L, B, H, maxT, Dh] int8
+    ks: jnp.ndarray  # [L, B, H, maxT] f32 per-position K scales
+    vs: jnp.ndarray  # [L, B, H, maxT] f32 per-position V scales
+    index: jnp.ndarray  # scalar int32
+
+
+def quantize_params(params: dict) -> dict:
+    """bf16/f32 GPT-2 params -> int8 decode params.
+
+    Matmul weights become {"q": int8, "s": f32[out]} (per-output-channel
+    symmetric); embeddings, positional table, LN gains/biases stay bf16.
+    The tied lm_head is stored pre-transposed ([D, V]) and quantized so the
+    per-step vocab projection streams int8 too.
+    """
+    bf16 = jnp.bfloat16
+
+    def qlin(leaf):
+        return {"w": quantize_weight(leaf["w"]), "b": leaf["b"].astype(bf16)}
+
+    blocks = params["blocks"]
+    return {
+        "wte": params["wte"].astype(bf16),
+        "wpe": params["wpe"].astype(bf16),
+        "blocks": {
+            "ln1": jax.tree_util.tree_map(lambda a: a.astype(bf16), blocks["ln1"]),
+            "ln2": jax.tree_util.tree_map(lambda a: a.astype(bf16), blocks["ln2"]),
+            "attn": {
+                "c_attn": qlin(blocks["attn"]["c_attn"]),
+                "c_proj": qlin(blocks["attn"]["c_proj"]),
+            },
+            "mlp": {
+                "c_fc": qlin(blocks["mlp"]["c_fc"]),
+                "c_proj": qlin(blocks["mlp"]["c_proj"]),
+            },
+        },
+        "ln_f": jax.tree_util.tree_map(lambda a: a.astype(bf16), params["ln_f"]),
+        "lm_head": quantize_weight(params["wte"].T.astype(jnp.float32)),
+    }
+
+
+def init_cache_q8(cfg: GPT2Config, batch: int, max_len: int, dtype=None) -> Int8KVCache:
+    """int8 KV cache (dtype arg accepted for protocol compat, ignored)."""
+    l, h, dh = cfg.n_layer, cfg.n_head, cfg.n_embd // cfg.n_head
+    return Int8KVCache(
+        k=jnp.zeros((l, batch, h, max_len, dh), jnp.int8),
+        v=jnp.zeros((l, batch, h, max_len, dh), jnp.int8),
+        ks=jnp.zeros((l, batch, h, max_len), jnp.float32),
+        vs=jnp.zeros((l, batch, h, max_len), jnp.float32),
+        index=jnp.zeros((), jnp.int32),
+    )
+
+
+def _forward_cached_q8(
+    params: dict,
+    cfg: GPT2Config,
+    inputs_embeds: jnp.ndarray,  # [B, T, D]
+    cache: Int8KVCache,
+    fresh: bool = False,
+    full_logits: bool = False,
+) -> Tuple[jnp.ndarray, Int8KVCache]:
+    b, t, d = inputs_embeds.shape
+    h_heads, dh = cfg.n_head, d // cfg.n_head
+    max_len = cache.k.shape[3]
+    idx = cache.index
+    eps = cfg.layer_norm_epsilon
+
+    positions = idx + jnp.arange(t)
+    x = inputs_embeds.astype(jnp.bfloat16) + jnp.take(
+        params["wpe"], positions, axis=0
+    )[None]
+
+    if fresh and t > 1:
+        qi = jnp.arange(t)[:, None]
+        ki = jnp.arange(t)[None, :]
+        prefill_bias = jnp.where(ki <= qi, 0.0, NEG_INF)[None, None]
+    else:
+        kpos = jnp.arange(max_len)[None, :]
+        step_bias = jnp.where(kpos <= idx + t - 1, 0.0, NEG_INF)  # [1, maxT]
+
+    def scan_fn(carry, xs):
+        x, kc, vc, ksc, vsc = carry
+        layer, l = xs
+        h = layer_norm(x, layer["ln1"]["g"], layer["ln1"]["b"], eps=eps)
+        qkv = int8_linear(h, layer["attn"]["c_attn"]["w"], layer["attn"]["c_attn"]["b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h_heads, dh)
+        k = k.reshape(b, t, h_heads, dh)
+        v = v.reshape(b, t, h_heads, dh)
+
+        # quantize new K/V per (b, t, h) over dh, store head-major
+        k8, sk = quantize_rows(k)  # sk [B,T,H,1]
+        v8, sv = quantize_rows(v)
+        kc = jax.lax.dynamic_update_slice(
+            kc, k8.transpose(0, 2, 1, 3)[None], (l, 0, 0, idx, 0)
+        )
+        vc = jax.lax.dynamic_update_slice(
+            vc, v8.transpose(0, 2, 1, 3)[None], (l, 0, 0, idx, 0)
+        )
+        ksc = jax.lax.dynamic_update_slice(
+            ksc, sk[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, idx)
+        )
+        vsc = jax.lax.dynamic_update_slice(
+            vsc, sv[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, idx)
+        )
+
+        if fresh and t > 1:
+            # prefill attention in bf16 on this call's q/k/v (exact shapes,
+            # no cache readback); the cache holds the quantized copy
+            attn = dot_product_attention(q, k, v, bias=prefill_bias).reshape(b, t, d)
+        else:
+            keys = jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False)  # [B,H,T,Dh] i8
+            vals = jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False)
+            skt = jax.lax.dynamic_index_in_dim(ksc, l, 0, keepdims=False)  # [B,H,T]
+            svt = jax.lax.dynamic_index_in_dim(vsc, l, 0, keepdims=False)
+            q8, sq = quantize_rows(q[:, 0])  # [B,H,Dh] int8, sq [B,H,1]
+            scores = jax.lax.dot_general(
+                q8, keys, (((2,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)  # [B,H,maxT]
+            scores = scores * sq * skt * (dh**-0.5) + step_bias[:, None, :]
+            p = jax.nn.softmax(scores, axis=-1)
+            pv8, sp = quantize_rows(p * svt)  # fold V scales into the probs
+            attn = jax.lax.dot_general(
+                pv8, vals, (((2,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * sp  # [B,H,Dh]
+            attn = attn.reshape(b, 1, d)
+        attn = attn.astype(x.dtype)
+        x = x + int8_linear(attn, layer["attn"]["c_proj"]["w"], layer["attn"]["c_proj"]["b"])
+        h = layer_norm(x, layer["ln2"]["g"], layer["ln2"]["b"], eps=eps)
+        h = int8_linear(h, layer["mlp"]["c_fc"]["w"], layer["mlp"]["c_fc"]["b"])
+        h = gelu_new(h)
+        h = int8_linear(h, layer["mlp"]["c_proj"]["w"], layer["mlp"]["c_proj"]["b"])
+        return (x + h, kc, vc, ksc, vsc), None
+
+    (x, kc, vc, ksc, vsc), _ = jax.lax.scan(
+        scan_fn,
+        (x, cache.k, cache.v, cache.ks, cache.vs),
+        (params["blocks"], jnp.arange(cfg.n_layer)),
+    )
+    if not full_logits:
+        x = x[:, -1:]
+    x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], eps=cfg.layer_norm_epsilon)
+    logits = int8_linear(x, params["lm_head"], out_dtype=jnp.float32)
+    return logits, Int8KVCache(k=kc, v=vc, ks=ksc, vs=vsc, index=idx + t)
+
+
+def prefill_q8(
+    params: dict,
+    cfg: GPT2Config,
+    inputs_embeds: jnp.ndarray,
+    cache: Int8KVCache,
+    full_logits: bool = False,
+) -> Tuple[jnp.ndarray, Int8KVCache]:
+    """int8-path prefill. Requires a fresh cache (index 0), like prefill()."""
+    return _forward_cached_q8(
+        params, cfg, inputs_embeds, cache, fresh=True, full_logits=full_logits
+    )
+
+
+def decode_step_q8(
+    params: dict, cfg: GPT2Config, token_embed: jnp.ndarray, cache: Int8KVCache
+) -> Tuple[jnp.ndarray, Int8KVCache]:
+    logits, cache = _forward_cached_q8(params, cfg, token_embed, cache)
+    return logits[:, -1], cache
+
+
+class _Int8Module:
+    """lm/registry-protocol adapter for the int8 decode path.
+
+    Use `gpt2.quantize_params(params)` once, then pass `gpt2.gpt2_int8` as
+    the engine's lm module with the quantized params.
+    """
+
+    takes_token_ids = False
+    init_cache = staticmethod(init_cache_q8)
+    prefill = staticmethod(prefill_q8)
+    decode_step = staticmethod(decode_step_q8)
+    embed_tokens = staticmethod(embed_tokens)
+    embedding_size = staticmethod(embedding_size)
+
+
+gpt2_int8 = _Int8Module()

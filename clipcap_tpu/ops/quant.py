@@ -34,11 +34,25 @@ def is_quantized(leaf) -> bool:
     return isinstance(leaf, dict) and "q" in leaf and "s" in leaf
 
 
-def int8_linear(x: jnp.ndarray, wq: dict, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+def quantize_rows(x: jnp.ndarray):
+    """Dynamic per-row symmetric quantization over the last axis.
+
+    Returns (int8 values, f32 scales with a keepdims last axis).
+    """
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def int8_linear(
+    x: jnp.ndarray,
+    wq: dict,
+    bias: Optional[jnp.ndarray] = None,
+    out_dtype=None,
+) -> jnp.ndarray:
     """x [..., in] @ quantized [in, out] with dynamic activation scales."""
-    s_x = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
-    s_x = jnp.maximum(s_x, 1e-12)
-    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127).astype(jnp.int8)
+    x8, s_x = quantize_rows(x)
     y = jax.lax.dot_general(
         x8, wq["q"],
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
@@ -47,7 +61,7 @@ def int8_linear(x: jnp.ndarray, wq: dict, bias: Optional[jnp.ndarray] = None) ->
     y = y.astype(jnp.float32) * s_x * wq["s"].astype(jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
-    return y.astype(x.dtype)
+    return y.astype(out_dtype if out_dtype is not None else x.dtype)
 
 
 def linear(x: jnp.ndarray, w, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:

@@ -30,10 +30,21 @@ from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = float("-inf")
 
 Scalar = Union[float, int, jnp.ndarray]
+
+
+def _concrete_value(x) -> Optional[np.ndarray]:
+    """np array for trace-time-concrete inputs, None for tracers."""
+    if isinstance(x, jax.core.Tracer):
+        return None
+    try:
+        return np.asarray(x, dtype=np.float64)
+    except Exception:
+        return None
 
 
 def _per_row(x: Scalar, batch: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -76,6 +87,28 @@ def top_k_top_p_filter(
     """
     batch, vocab = logits.shape
     logits = logits.astype(jnp.float32)
+
+    if prefilter_k and prefilter_k < vocab:
+        # exactness guard (ADVICE r1): when the hyperparameters are concrete
+        # at trace time, silently-inexact configurations fall back to the
+        # full-vocab path instead of diverging from reference semantics —
+        # an effective top_k (incl. fractional k resolving to floor(k*V))
+        # larger than the candidate set, or a nucleus threshold so close to
+        # 1.0 that its boundary may lie outside the candidates. Traced
+        # hyperparameters can't be inspected; callers passing those should
+        # size prefilter_k with headroom.
+        k_conc = _concrete_value(top_k)
+        p_conc = _concrete_value(top_p)
+        if k_conc is not None:
+            k_abs_conc = np.where(
+                (k_conc > 0) & (k_conc < 1),
+                np.maximum(1.0, np.floor(k_conc * vocab)),
+                k_conc,
+            )
+            if (k_abs_conc > prefilter_k).any():
+                prefilter_k = 0
+        if prefilter_k and p_conc is not None and (p_conc >= 0.995).any():
+            prefilter_k = 0
 
     if prefilter_k and prefilter_k < vocab:
         # resolve fractional top_k against the TRUE vocab before reducing

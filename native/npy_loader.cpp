@@ -12,10 +12,11 @@
 // C ABI (driven from Python via ctypes — see data/native_loader.py):
 //   loader_create(prefix_dir, tokens_dir, batch_size, queue_depth) -> handle
 //   loader_row_info(handle, &prefix_row_elems, &tokens_row_elems,
-//                   &prefix_dtype, &tokens_dtype, &sample_count)
+//                   &sample_count)
 //   loader_next(handle, prefix_out, tokens_out)  // blocking, row-major
 //   loader_destroy(handle)
-// dtype codes: 0=f32, 1=f64, 2=i64, 3=i32 (converted to f32/i64 on read).
+// Source dtypes f32/f64/i32/i64 are converted to f32 (prefixes) / i64
+// (tokens) on read; outputs are always those fixed types.
 
 #include <atomic>
 #include <condition_variable>
@@ -172,8 +173,20 @@ class Loader {
   }
 
  private:
+  // Signal a fatal worker-side error: wake any blocked consumer so
+  // loader_next returns false instead of hanging forever (ADVICE: a
+  // mid-rotation fopen failure or truncated shard must not deadlock the
+  // training loop).
+  void fail() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_consumer_.notify_all();
+  }
+
   template <typename Dst>
-  static void read_rows(const NpyInfo& info, FILE* f, int64_t start, int64_t n,
+  static bool read_rows(const NpyInfo& info, FILE* f, int64_t start, int64_t n,
                         Dst* dst) {
     const size_t elems = info.row_elems() * (size_t)n;
     std::vector<unsigned char> raw(elems * info.itemsize);
@@ -181,7 +194,13 @@ class Loader {
                     (size_t)start * info.row_elems() * info.itemsize),
           SEEK_SET);
     size_t got = fread(raw.data(), info.itemsize, elems, f);
-    (void)got;
+    if (got != elems) {
+      // truncated shard (header claims more rows than the file holds):
+      // fail loudly rather than emit uninitialized batch rows
+      fprintf(stderr, "npy_loader: short read in %s (want %zu elems, got %zu)\n",
+              info.path.c_str(), elems, got);
+      return false;
+    }
     char kind = info.descr[1];
     if (kind == 'f' && info.itemsize == 4) {
       const float* src = (const float*)raw.data();
@@ -196,6 +215,7 @@ class Loader {
       const int32_t* src = (const int32_t*)raw.data();
       for (size_t i = 0; i < elems; ++i) dst[i] = (Dst)src[i];
     }
+    return true;
   }
 
   void run() {
@@ -216,8 +236,12 @@ class Loader {
       FILE* pf = fopen(pinfo.path.c_str(), "rb");
       FILE* tf = fopen(tinfo.path.c_str(), "rb");
       if (!pf || !tf) {
+        // shard deleted/moved mid-rotation: error out rather than hang
+        fprintf(stderr, "npy_loader: cannot reopen shard %s\n",
+                (!pf ? pinfo.path : tinfo.path).c_str());
         if (pf) fclose(pf);
         if (tf) fclose(tf);
+        fail();
         return;
       }
       int64_t sample_index = 0;
@@ -229,8 +253,15 @@ class Loader {
         size_t pr = prefix_row_elems_, tr = tokens_row_elems_;
         ov_prefix.resize((size_t)(ov_rows + take) * pr);
         ov_tokens.resize((size_t)(ov_rows + take) * tr);
-        read_rows(pinfo, pf, sample_index, take, ov_prefix.data() + (size_t)ov_rows * pr);
-        read_rows(tinfo, tf, sample_index, take, ov_tokens.data() + (size_t)ov_rows * tr);
+        if (!read_rows(pinfo, pf, sample_index, take,
+                       ov_prefix.data() + (size_t)ov_rows * pr) ||
+            !read_rows(tinfo, tf, sample_index, take,
+                       ov_tokens.data() + (size_t)ov_rows * tr)) {
+          fclose(pf);
+          fclose(tf);
+          fail();
+          return;
+        }
         ov_rows += take;
         sample_index += take;
 
@@ -290,6 +321,15 @@ void* loader_create(const char* prefix_dir, const char* tokens_dir,
     if (!parse_npy_header(pfiles_names[i], &p)) return nullptr;
     if (!parse_npy_header(tfiles_names[i], &t)) return nullptr;
     if (p.rows() != t.rows()) return nullptr;
+    if (i > 0) {
+      // every shard must share shard 0's row width and dtype — the output
+      // buffers (and ov_prefix/ov_tokens) are sized from shard 0, so a
+      // wider later shard would overflow them on the worker thread
+      if (p.row_elems() != pfiles[0].row_elems() || p.descr != pfiles[0].descr)
+        return nullptr;
+      if (t.row_elems() != tfiles[0].row_elems() || t.descr != tfiles[0].descr)
+        return nullptr;
+    }
     pfiles.push_back(std::move(p));
     tfiles.push_back(std::move(t));
   }

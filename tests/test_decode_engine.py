@@ -181,3 +181,20 @@ def test_best_beam_text(lm_params):
     out = beam_search(gpt2, lm_params, CFG, embeds, beam_size=3, max_new_tokens=6)
     text = best_beam_text(out, FakeTok())
     assert len(text.split()) == 6
+
+
+def test_statically_active_rejects_non_numeric():
+    """VERDICT r1 weak #8: a wrong settings type (e.g. a string) must fail
+    loudly instead of silently enabling a full-vocab sort per step."""
+    import pytest
+    from clipcap_tpu.decode.engine import _statically_active
+
+    assert _statically_active(0) is False
+    assert _statically_active(0.0) is False
+    assert _statically_active(1.2) is True
+    assert _statically_active(jnp.zeros((3,))) is False
+    assert _statically_active(jnp.asarray([0.0, 0.5])) is True
+    with pytest.raises(TypeError):
+        _statically_active("0.9")
+    with pytest.raises(TypeError):
+        _statically_active(object())

@@ -82,7 +82,7 @@ def test_kv_cache_decode_matches_full_forward(models):
     full = gpt2.apply(params, CFG, embeds)
 
     cache = gpt2.init_cache(CFG, batch=2, max_len=16)
-    prefill_logits, cache = gpt2.prefill(params, CFG, embeds[:, :8], cache)
+    prefill_logits, cache = gpt2.prefill(params, CFG, embeds[:, :8], cache, full_logits=True)
     np.testing.assert_allclose(
         np.asarray(prefill_logits), np.asarray(full[:, :8]), atol=1e-4, rtol=1e-4
     )

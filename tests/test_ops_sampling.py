@@ -183,3 +183,25 @@ def test_prefilter_noop_when_larger_than_vocab():
     a = sampling.top_k_top_p_filter(logits, 5, 0.8)
     b = sampling.top_k_top_p_filter(logits, 5, 0.8, prefilter_k=512)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_prefilter_falls_back_when_topk_exceeds_candidates():
+    """ADVICE r1: a concrete top_k (incl. fractional) larger than
+    prefilter_k must not silently diverge from full-vocab semantics."""
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.normal(size=(3, 64)).astype(np.float32))
+    exact = sampling.top_k_top_p_filter(logits, top_k=32, top_p=0.9, prefilter_k=0)
+    guarded = sampling.top_k_top_p_filter(logits, top_k=32, top_p=0.9, prefilter_k=16)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(guarded), rtol=1e-6)
+    # fractional: 0.6 * 64 = 38 > 16 candidates
+    exact = sampling.top_k_top_p_filter(logits, top_k=0.6, prefilter_k=0)
+    guarded = sampling.top_k_top_p_filter(logits, top_k=0.6, prefilter_k=16)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(guarded), rtol=1e-6)
+
+
+def test_prefilter_falls_back_near_top_p_one():
+    rng = np.random.default_rng(12)
+    logits = jnp.asarray(rng.normal(size=(2, 64)).astype(np.float32))
+    exact = sampling.top_k_top_p_filter(logits, top_p=0.999, prefilter_k=0)
+    guarded = sampling.top_k_top_p_filter(logits, top_p=0.999, prefilter_k=8)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(guarded), rtol=1e-6)
