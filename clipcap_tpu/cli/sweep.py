@@ -117,16 +117,35 @@ def run_sweep(
     seed: int = 0,
     logger: Optional[MetricLogger] = None,
 ) -> list:
-    """Local random-search over a wandb-sweep-style parameter space,
-    maximizing `metric.name` (default Bleu_4)."""
-    rng = random.Random(seed)
-    metric_name = sweep_config.get("metric", {}).get("name", "Bleu_4")
+    """Local sweep driver over a wandb-sweep-style parameter space,
+    maximizing/minimizing `metric.name` (default: maximize Bleu_4).
+
+    `method: bayes` (the reference's configuration,
+    blip_coco_val_sample_sweep_bayes_01.yaml:2) runs TPE bayesian
+    optimization (utils/tpe.py); `method: random` runs random search.
+    """
+    method = sweep_config.get("method", "bayes")
+    metric_cfg = sweep_config.get("metric", {})
+    metric_name = metric_cfg.get("name", "Bleu_4")
+    maximize = metric_cfg.get("goal", "maximize") != "minimize"
     params_space = sweep_config.get("parameters", {})
     logger = logger or MetricLogger()
 
+    if method == "bayes":
+        from ..utils.tpe import TPEOptimizer
+
+        opt = TPEOptimizer(params_space, seed=seed, maximize=maximize)
+        draw = opt.suggest
+    elif method == "random":
+        rng = random.Random(seed)
+        opt = None
+        draw = lambda: {k: _draw(v, rng) for k, v in params_space.items()}
+    else:
+        raise ValueError(f"unsupported sweep method {method!r} (bayes | random)")
+
     results = []
     for t in range(trials):
-        trial = {k: _draw(v, rng) for k, v in params_space.items()}
+        trial = draw()
         kwargs = {
             k: trial[k]
             for k in ("mode", "batch_size", "top_k", "top_p", "typ_p", "min_len",
@@ -135,9 +154,12 @@ def run_sweep(
         }
         scores = run_eval(engine, valid_json_path, image_folder_path,
                           n=n_images, manual_seed=seed + t, **kwargs)
+        if opt is not None:
+            opt.observe(trial, scores.get(metric_name, float("nan")))
         logger.log({"trial": t, **trial, **scores})
         results.append((trial, scores))
-    results.sort(key=lambda x: -x[1].get(metric_name, 0.0))
+    sign = -1.0 if maximize else 1.0
+    results.sort(key=lambda x: sign * x[1].get(metric_name, 0.0))
     best_trial, best_scores = results[0]
     print(f"best {metric_name}={best_scores.get(metric_name):.4f} with {best_trial}")
     return results

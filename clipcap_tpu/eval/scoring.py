@@ -51,17 +51,31 @@ def generate_scores(gts: Dict, res: Dict) -> Tuple[Dict, Dict]:
 
 
 def generate_scores_full(gts: Dict, res: Dict, include_spice: bool = False) -> Tuple[Dict, Dict]:
-    """Bleu + METEOR + ROUGE_L + CIDEr (reference utils/scoring.py:4-40)."""
-    if include_spice:
-        raise NotImplementedError(
-            "SPICE requires the Java scene-graph parser (pycocoevalcap's "
-            "spice jar); it is not reimplemented here. Run with "
-            "include_spice=False for Bleu/METEOR/ROUGE_L/CIDEr."
-        )
+    """Bleu + METEOR + ROUGE_L + CIDEr (reference utils/scoring.py:4-40).
+
+    SPICE is formally unsupported: it requires pycocoevalcap's Java
+    scene-graph parser (Stanford CoreNLP), which has no Python
+    reimplementation. Requesting it DEGRADES — results carry
+    ``SPICE: nan`` and a warning is emitted — rather than crashing an
+    evaluation run that also asked for the supported metrics.
+    """
     scorers = [
         (lambda g, r: bleu(g, r), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
         (lambda g, r: meteor(g, r), "METEOR"),
         (lambda g, r: rouge_l(g, r), "ROUGE_L"),
         (lambda g, r: cider_d(g, r), "CIDEr"),
     ]
-    return _run(gts, res, scorers)
+    output, img_output = _run(gts, res, scorers)
+    if include_spice:
+        import math
+        import warnings
+
+        warnings.warn(
+            "SPICE is unsupported (Java scene-graph parser); reporting NaN. "
+            "See eval/scoring.py.",
+            stacklevel=2,
+        )
+        output["SPICE"] = math.nan
+        for img_id in img_output:
+            img_output[img_id]["SPICE"] = math.nan
+    return output, img_output
