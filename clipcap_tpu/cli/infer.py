@@ -49,7 +49,8 @@ def demo_generate_captions(
         out = beam_search(bundle.lm, bundle.params["lm"], bundle.lm_cfg, prompt,
                           beam_size=generation_kwargs.get("beam_size", 5),
                           max_new_tokens=generation_kwargs.get("entry_length", 67),
-                          stop_token_id=bundle.tokenizer.encode_text(".")[0])
+                          stop_token_id=bundle.tokenizer.encode_text(".")[0],
+                          cache_constraint=getattr(bundle, "cache_constraint", None))
         captions = [best_beam_text(out, bundle.tokenizer)]
     else:
         sampler = NoBeamCaptionSampler(
@@ -134,12 +135,18 @@ def main(argv=None):
     p.add_argument("--number_to_generate", type=int, default=1)
     p.add_argument("--text_prefix", default=None)
     p.add_argument("--no_beam", action="store_true")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="model-axis size for tensor-parallel GPT-J decode "
+                        "(heads + KV cache sharded over this many chips)")
     args = p.parse_args(argv)
 
     from ..eval.clip_scoring import ClipScoring
     from .loading import load_captioner_bundle, load_clip_ranker
 
     bundle = load_captioner_bundle(args.checkpoint_path, args.tokenizer_vocab_dir)
+    if args.tensor_parallel > 1:
+        mesh = bundle.enable_tensor_parallel(args.tensor_parallel)
+        print(f"tensor-parallel decode over mesh {dict(mesh.shape)}")
     ranker = load_clip_ranker(args.clip_model, args.clip_checkpoint, args.clip_merges)
     scoring = ClipScoring(ranker.vit_params, ranker.vit_cfg, ranker.text_params,
                           ranker.text_cfg, ranker.tokenizer)

@@ -27,6 +27,7 @@ def beam_search(
     max_new_tokens: int = 67,
     temperature: float = 1.0,
     stop_token_id: Optional[int] = None,
+    cache_constraint=None,  # cache -> cache (multi-chip hook, see engine.generate)
 ) -> dict:
     """Returns {tokens [beam, N], seq_lengths [beam], scores [beam]}.
 
@@ -40,6 +41,8 @@ def beam_search(
     temp = temperature if temperature > 0 else 1.0
 
     cache = lm.init_cache(lm_cfg, batch=1, max_len=p_len + n, dtype=prompt_embeds.dtype)
+    if cache_constraint is not None:
+        cache = cache_constraint(cache)
     logits, cache = lm.prefill(params, lm_cfg, prompt_embeds, cache)
     logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32) / temp, axis=-1)  # [1, V]
 

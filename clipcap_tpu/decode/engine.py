@@ -107,8 +107,14 @@ def generate(
     settings: GenerationSettings,
     rng: Optional[jax.Array] = None,
     prompt_tokens: Optional[jnp.ndarray] = None,  # [B, Tp] fed to rep-penalty
+    cache_constraint=None,  # cache -> cache; e.g. tp.GPTJDecodeShardings.constrain_cache
 ) -> dict:
     """Generate settings.max_new_tokens tokens after prompt_embeds.
+
+    `cache_constraint` is the multi-chip hook: a function applied to the
+    freshly created KV cache inside the traced computation (typically
+    jax.lax.with_sharding_constraint via parallel/tp.py), so tensor- or
+    data-parallel decode keeps the cache sharded across every step.
 
     When `lm.takes_token_ids` is set (e.g. the BLIP decoder adapter, whose
     embedding layer owns positions+LayerNorm), `prompt_embeds` is a [B, P]
@@ -144,6 +150,8 @@ def generate(
     # token-id adapters pick their own cache dtype (from the image features)
     cache_dtype = None if token_mode else prompt_embeds.dtype
     cache = lm.init_cache(lm_cfg, batch=b, max_len=p_len + n, dtype=cache_dtype)
+    if cache_constraint is not None:
+        cache = cache_constraint(cache)
     prefill_logits, cache = lm.prefill(params, lm_cfg, prompt_embeds, cache)
     last_logits = prefill_logits[:, -1].astype(jnp.float32)
 

@@ -91,6 +91,7 @@ class NoBeamCaptionSampler(CaptionSamplerBase):
         out = generate(
             bundle.lm, bundle.params["lm"], bundle.lm_cfg, prompt, settings,
             rng=jax.random.PRNGKey(self.seed),
+            cache_constraint=getattr(bundle, "cache_constraint", None),
         )
         return trim_and_decode(out, tokenizer, strip_special=True)
 

@@ -34,6 +34,43 @@ class CaptionerBundle:
         self._project = jax.jit(
             lambda p, x: captioner.project_prefix(p, self.cap_cfg, x)
         )
+        # multi-chip decode hooks (set by enable_tensor_parallel)
+        self.cache_constraint = None
+        self.tp_mesh = None
+
+    # --- multi-chip -------------------------------------------------------------
+
+    def enable_tensor_parallel(self, model_parallel: int,
+                               data_parallel: Optional[int] = None):
+        """Shard the LM for tensor-parallel KV-cached decode.
+
+        Builds a (data, model) mesh, lays the GPT-J params out head-/width-
+        sharded over the model axis (parallel/tp.py) and installs the
+        engine's cache_constraint hook so the KV cache stays sharded across
+        every decode step. The reference's closest analog is the manual
+        two-GPU placement in caption_me.py:49-50; here the layout is a real
+        tensor-parallel decomposition over the mesh.
+        """
+        import jax as _jax
+
+        from ..core.mesh import MeshSpec, make_mesh
+        from ..lm.registry import normalize_lm_type
+        from ..parallel.tp import gptj_decode_shardings
+
+        if normalize_lm_type(self.cap_cfg.lm_type) != "gptj":
+            raise ValueError(
+                "tensor-parallel decode is implemented for GPT-J (heads and "
+                "MLP widths divide the model axis); GPT2-XL's 25 heads do "
+                "not split — use data parallelism (see PARITY.md)"
+            )
+        n_dev = len(_jax.devices())
+        dp = data_parallel or max(1, n_dev // model_parallel)
+        mesh = make_mesh(MeshSpec(data=dp, model=model_parallel))
+        sh = gptj_decode_shardings(mesh, self.params["lm"])
+        self.params["lm"] = _jax.device_put(self.params["lm"], sh.params)
+        self.cache_constraint = sh.constrain_cache
+        self.tp_mesh = mesh
+        return mesh
 
     # --- visual ---------------------------------------------------------------
 
