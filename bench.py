@@ -106,7 +106,7 @@ def _bench_engine_default(cfg, params):
         top_p=top_p_rows,
         repetition_penalty=1.2,
         stop_token_id=13,  # '.' in the GPT-2 vocab (reference inference.py:237)
-        vocab_prefilter=4096,
+        # filter_method defaults to "threshold": sort-free exact top-p
     )
 
     @jax.jit
@@ -247,7 +247,7 @@ def main():
                     "raw_greedy_bf16_captions_per_sec": round(BATCH / p50_bf16, 1),
                     "p50_batch_latency_ms_bf16": round(p50_bf16 * 1000, 1),
                     "engine_default_captions_per_sec": round(BATCH / p50_engine, 1),
-                    "engine_default_settings": "rep_penalty=1.2 top_p=sweep(0.1..0.9) stop='.' prefilter=4096, mapper included",
+                    "engine_default_settings": "rep_penalty=1.2 top_p=sweep(0.1..0.9) stop='.' filter=threshold, mapper included",
                     "vit_b32_preprocess_images_per_sec": round(vit_ips, 1),
                     "vit_b32_vs_10k_target": round(vit_ips / 10000.0, 3),
                     "train_step_config1_steps_per_sec": round(train_steps_s, 2),

@@ -205,3 +205,55 @@ def test_prefilter_falls_back_near_top_p_one():
     exact = sampling.top_k_top_p_filter(logits, top_p=0.999, prefilter_k=0)
     guarded = sampling.top_k_top_p_filter(logits, top_p=0.999, prefilter_k=8)
     np.testing.assert_allclose(np.asarray(exact), np.asarray(guarded), rtol=1e-6)
+
+
+def _finite_mask(x):
+    return np.isfinite(np.asarray(x))
+
+
+def test_threshold_filter_matches_sort_top_p():
+    """Sort-free bisection filter == sort-based filter (exact full-vocab
+    semantics), across a per-row top_p sweep."""
+    rng = np.random.default_rng(21)
+    logits = jnp.asarray(rng.normal(size=(6, 512)).astype(np.float32) * 3)
+    p = jnp.asarray([0.0, 0.1, 0.3, 0.5, 0.8, 0.95], jnp.float32)
+    a = sampling.top_k_top_p_filter(logits, top_p=p)
+    b = sampling.top_k_top_p_filter_threshold(logits, top_p=p)
+    np.testing.assert_array_equal(_finite_mask(a), _finite_mask(b))
+    np.testing.assert_allclose(np.where(_finite_mask(a), np.asarray(a), 0),
+                               np.where(_finite_mask(b), np.asarray(b), 0), rtol=1e-6)
+
+
+def test_threshold_filter_matches_sort_top_k():
+    rng = np.random.default_rng(22)
+    logits = jnp.asarray(rng.normal(size=(5, 256)).astype(np.float32) * 2)
+    # incl. fractional top_k (0.25 -> floor(0.25*256)=64) and disabled rows
+    k = jnp.asarray([0.0, 1.0, 7.0, 0.25, 100.0], jnp.float32)
+    a = sampling.top_k_top_p_filter(logits, top_k=k)
+    b = sampling.top_k_top_p_filter_threshold(logits, top_k=k)
+    np.testing.assert_array_equal(_finite_mask(a), _finite_mask(b))
+
+
+def test_threshold_filter_matches_sort_combined():
+    rng = np.random.default_rng(23)
+    logits = jnp.asarray(rng.normal(size=(4, 333)).astype(np.float32) * 3)
+    k = jnp.asarray([10.0, 0.0, 50.0, 0.5], jnp.float32)
+    p = jnp.asarray([0.9, 0.6, 0.0, 0.7], jnp.float32)
+    a = sampling.top_k_top_p_filter(logits, top_k=k, top_p=p)
+    b = sampling.top_k_top_p_filter_threshold(logits, top_k=k, top_p=p)
+    np.testing.assert_array_equal(_finite_mask(a), _finite_mask(b))
+
+
+def test_threshold_typical_matches_sort():
+    rng = np.random.default_rng(24)
+    logits = jnp.asarray(rng.normal(size=(5, 400)).astype(np.float32) * 3)
+    t = jnp.asarray([0.0, 0.2, 0.5, 0.9, 0.99], jnp.float32)
+    a = sampling.typical_filter(logits, t)
+    b = sampling.typical_filter_threshold(logits, t)
+    np.testing.assert_array_equal(_finite_mask(a), _finite_mask(b))
+
+
+def test_threshold_filter_keeps_at_least_one():
+    logits = jnp.asarray([[5.0, 1.0, 0.0, -2.0]], jnp.float32)
+    out = sampling.top_k_top_p_filter_threshold(logits, top_p=jnp.asarray([0.01]))
+    assert _finite_mask(out).sum() == 1 and np.isfinite(np.asarray(out)[0, 0])
