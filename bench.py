@@ -164,6 +164,71 @@ def _bench_vit_preprocess(batch: int = 256, iters: int = 10) -> float:
     return batch / dt
 
 
+def _bench_genb_synthesis(sample_count: int = 40, iters: int = 3) -> float:
+    """Gen-B: 40-candidate BLIP-base @384 heterogeneous synthesis per image
+    (reference sampling.py:283-326 / caption_me.py), ms/image. Random-init
+    weights; per-sample top_p/min/max-len grids like caption_me defaults."""
+    import math
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from clipcap_tpu.core.config import BlipTextConfig, ViTConfig
+    from clipcap_tpu.decode import hetero
+    from clipcap_tpu.models import blip_text, vit
+
+    vit_cfg = ViTConfig.blip_variant("ViT-B")
+    text_cfg = BlipTextConfig()
+    vit_params = jax.jit(lambda k: vit.init(k, vit_cfg, dtype=jnp.bfloat16))(
+        jax.random.PRNGKey(0)
+    )
+    text_params = jax.jit(lambda k: blip_text.init(k, text_cfg, dtype=jnp.bfloat16))(
+        jax.random.PRNGKey(1)
+    )
+
+    class _Tok:
+        bos_token_id = 101
+        sep_token_id = 102
+        pad_token_id = 0
+        all_special_ids = (0, 100, 101, 102, 103)
+
+        def encode(self, s, add_special_tokens=True):
+            return [101, 1037, 3861, 1997, 102]  # "a picture of"
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    pixels = jax.random.normal(
+        jax.random.PRNGKey(2), (1, 3, vit_cfg.image_size, vit_cfg.image_size),
+        jnp.bfloat16,
+    )
+    image_embeds = jax.jit(
+        lambda px: vit.apply(vit_params, vit_cfg, px, output="tokens")
+    )(pixels)
+
+    n = sample_count
+    top_p = jnp.asarray(np.resize([0.3, 0.5, 0.7, 0.9], n).astype(np.float32))
+    min_len = jnp.asarray(np.resize([5, 10, 15, 20], n).astype(np.int32))
+    max_len = jnp.asarray(np.resize([20, 25, 30], n).astype(np.int32))
+
+    def one(i):
+        return hetero.sample(
+            image_embeds, text_params, text_cfg, _Tok(), sample_count=n,
+            top_p=top_p, top_k=2500.0, min_len=min_len, max_len=max_len,
+            repetition_penalty=1.3, force_eos_log_prob=math.log(0.9),
+            rng=jax.random.PRNGKey(i),
+        )
+
+    one(0)  # compile
+    ts = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        one(i + 1)
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1000.0
+
+
 def _bench_train_step(batch: int = 128, seq: int = 40):
     """Training-step throughput for BASELINE config #1 (ViT-B/32-prefix +
     GPT-2 small prefix training over precomputed shards). Returns
@@ -227,6 +292,7 @@ def main():
     p50_int8 = _bench_decode_raw(cfg, params, prefix, int8=True)
     p50_engine = _bench_engine_default(cfg, params)
     vit_ips = _bench_vit_preprocess()
+    genb_ms = _bench_genb_synthesis()
     train_steps_s, train_tokens_s = _bench_train_step()
 
     captions_per_sec = BATCH / p50_int8
@@ -250,6 +316,7 @@ def main():
                     "engine_default_settings": "rep_penalty=1.2 top_p=sweep(0.1..0.9) stop='.' filter=threshold, mapper included",
                     "vit_b32_preprocess_images_per_sec": round(vit_ips, 1),
                     "vit_b32_vs_10k_target": round(vit_ips / 10000.0, 3),
+                    "genb_blip_synthesis_ms_per_image_40cand": round(genb_ms, 1),
                     "train_step_config1_steps_per_sec": round(train_steps_s, 2),
                     "train_step_config1_tokens_per_sec": round(train_tokens_s, 1),
                 },

@@ -28,6 +28,41 @@ from ..models import blip_text
 from .engine import GenerationSettings, generate
 
 
+def _settings_cache_key(settings: GenerationSettings):
+    """Hashable key for the jit cache: every settings field, with arrays
+    flattened to value tuples."""
+
+    def leaf(x):
+        if isinstance(x, (jnp.ndarray, np.ndarray)):
+            return ("arr", x.shape, str(x.dtype), tuple(np.asarray(x).ravel().tolist()))
+        return x
+
+    import dataclasses as _dc
+
+    return tuple((f.name, leaf(getattr(settings, f.name)))
+                 for f in _dc.fields(settings))
+
+
+_SAMPLE_CACHE: dict = {}
+
+
+def _compiled_sample(text_cfg: BlipTextConfig, settings: GenerationSettings, key):
+    cache_key = (text_cfg, key)
+    fn = _SAMPLE_CACHE.get(cache_key)
+    if fn is None:
+
+        @jax.jit
+        def fn(text_params, img, img_mask, prompt_arr, rng):
+            lm = blip_text.decoder_lm(text_params, text_cfg, img, img_mask)
+            return generate(lm, text_params, text_cfg, prompt_arr, settings,
+                            rng=rng, prompt_tokens=prompt_arr)
+
+        if len(_SAMPLE_CACHE) > 32:  # bound the executable cache
+            _SAMPLE_CACHE.clear()
+        _SAMPLE_CACHE[cache_key] = fn
+    return fn
+
+
 def sample(
     image_embeds: jnp.ndarray,  # [B, Tv, D] BLIP ViT tokens (visual_encoder output)
     text_params: dict,
@@ -95,13 +130,17 @@ def sample(
         pad_token_id=0,
     )
 
-    lm = blip_text.decoder_lm(text_params, text_cfg, img, img_mask)
+    # Compile-cache the whole synthesis computation. Calling the engine
+    # eagerly costs seconds per image over the TPU relay (per-op dispatch);
+    # hyperparameters repeat across images within a sweep trial / caption
+    # run, so the jitted closure (settings baked as constants, which also
+    # keeps the static filter gating) compiles once and is reused.
+    run_fn = _compiled_sample(text_cfg, settings, _settings_cache_key(settings))
 
     captions, parameters, stats = [], [], []
     for run in range(num_runs):
         rng, run_rng = jax.random.split(rng)
-        out = generate(lm, text_params, text_cfg, prompt_arr, settings,
-                       rng=run_rng, prompt_tokens=prompt_arr)
+        out = run_fn(text_params, img, img_mask, prompt_arr, run_rng)
         tokens = np.asarray(jax.device_get(out["tokens"]))
         lengths = np.asarray(jax.device_get(out["lengths"]))
         eos_lp = np.asarray(jax.device_get(out["eos_logprob"]))

@@ -61,6 +61,8 @@ class NoBeamCaptionSampler(CaptionSamplerBase):
         self.stop_token = stop_token
         self.seed = seed
         self.vocab_prefilter = vocab_prefilter
+        self._gen_fn = None
+        self._gen_key = None
 
     def get_description(self):
         return (
@@ -78,21 +80,31 @@ class NoBeamCaptionSampler(CaptionSamplerBase):
         prompt = jnp.concatenate([prefix_rep, bundle.embed_text(bos)], axis=1)
 
         stop_id = tokenizer.encode_text(self.stop_token)[0]
-        settings = GenerationSettings(
-            max_new_tokens=self.max_decode_length,
-            temperature=self.temperature,
-            top_p=jnp.asarray(self.top_p_values, jnp.float32),
-            repetition_penalty=self.repetition_penalty,
-            stop_token_id=stop_id,
-            max_stops=self.max_stops,
-            stop_on_special=tuple(tokenizer.all_special_ids),
-            vocab_prefilter=self.vocab_prefilter,
-        )
-        out = generate(
-            bundle.lm, bundle.params["lm"], bundle.lm_cfg, prompt, settings,
-            rng=jax.random.PRNGKey(self.seed),
-            cache_constraint=getattr(bundle, "cache_constraint", None),
-        )
+        key = (id(bundle), stop_id, tuple(tokenizer.all_special_ids))
+        if self._gen_fn is None or self._gen_key != key:
+            settings = GenerationSettings(
+                max_new_tokens=self.max_decode_length,
+                temperature=self.temperature,
+                top_p=jnp.asarray(self.top_p_values, jnp.float32),
+                repetition_penalty=self.repetition_penalty,
+                stop_token_id=stop_id,
+                max_stops=self.max_stops,
+                stop_on_special=tuple(tokenizer.all_special_ids),
+                vocab_prefilter=self.vocab_prefilter,
+            )
+            constraint = getattr(bundle, "cache_constraint", None)
+            lm, lm_cfg = bundle.lm, bundle.lm_cfg
+
+            # jit the engine call (eager per-op dispatch over the TPU relay
+            # costs seconds per image); settings are per-instance constants
+            @jax.jit
+            def _run(params, prompt, rng):
+                return generate(lm, params, lm_cfg, prompt, settings,
+                                rng=rng, cache_constraint=constraint)
+
+            self._gen_fn, self._gen_key = _run, key
+        out = self._gen_fn(bundle.params["lm"], prompt,
+                           jax.random.PRNGKey(self.seed))
         return trim_and_decode(out, tokenizer, strip_special=True)
 
 
