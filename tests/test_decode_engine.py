@@ -104,7 +104,7 @@ def test_per_row_max_length(lm_params):
         ),
     )
     # reference semantics: the token sampled at the capped step is dropped
-    # (rows are spliced before the append, sampling.py:811-830)
+    # (rows are spliced before the append, sampling.py:252-268)
     assert int(out["lengths"][0]) == 3
     assert bool(out["stopped"][0])
 
