@@ -34,7 +34,7 @@ NEW_TOKENS = 32  # typical caption length
 BASELINE_CAPTIONS_PER_SEC = 50.0  # BASELINE.md north-star target
 
 
-def _bench_decode_raw(cfg, params, prefix, int8: bool):
+def _bench_decode_raw(cfg, params, prefix, int8: bool, batch: int = BATCH):
     import jax
     import jax.numpy as jnp
 
@@ -43,11 +43,11 @@ def _bench_decode_raw(cfg, params, prefix, int8: bool):
     total_len = PREFIX_LEN + NEW_TOKENS
     if int8:
         params = jax.jit(gpt2.quantize_params)(params)
-        init_cache = lambda: gpt2.init_cache_q8(cfg, batch=BATCH, max_len=total_len)
+        init_cache = lambda: gpt2.init_cache_q8(cfg, batch=batch, max_len=total_len)
         prefill, step = gpt2.prefill_q8, gpt2.decode_step_q8
     else:
         init_cache = lambda: gpt2.init_cache(
-            cfg, batch=BATCH, max_len=total_len, dtype=jnp.bfloat16
+            cfg, batch=batch, max_len=total_len, dtype=jnp.bfloat16
         )
         prefill, step = gpt2.prefill, gpt2.decode_step
 
@@ -288,14 +288,22 @@ def main():
         jax.random.PRNGKey(1), (BATCH, PREFIX_LEN, cfg.n_embd), jnp.bfloat16
     )
 
+    # int8 headline runs at batch 512: the int8 KV cache halves the HBM
+    # footprint, and throughput keeps rising past 256 (the bf16 cache OOMs
+    # at 512 — 11.3 GB KV alone — so the bf16 comparison stays at 256).
+    batch_int8 = 2 * BATCH
+    prefix_512 = jax.random.normal(
+        jax.random.PRNGKey(1), (batch_int8, PREFIX_LEN, cfg.n_embd), jnp.bfloat16
+    )
+
     p50_bf16 = _bench_decode_raw(cfg, params, prefix, int8=False)
-    p50_int8 = _bench_decode_raw(cfg, params, prefix, int8=True)
+    p50_int8 = _bench_decode_raw(cfg, params, prefix_512, int8=True, batch=batch_int8)
     p50_engine = _bench_engine_default(cfg, params)
     vit_ips = _bench_vit_preprocess()
     genb_ms = _bench_genb_synthesis()
     train_steps_s, train_tokens_s = _bench_train_step()
 
-    captions_per_sec = BATCH / p50_int8
+    captions_per_sec = batch_int8 / p50_int8
 
     print(
         json.dumps(
@@ -305,12 +313,13 @@ def main():
                 "unit": "captions/sec/chip",
                 "vs_baseline": round(captions_per_sec / BASELINE_CAPTIONS_PER_SEC, 3),
                 "detail": {
-                    "batch": BATCH,
+                    "batch": batch_int8,
                     "prefix_len": PREFIX_LEN,
                     "new_tokens": NEW_TOKENS,
                     "dtype": "int8 weights + int8 kv (headline)",
                     "p50_batch_latency_ms_int8": round(p50_int8 * 1000, 1),
                     "raw_greedy_bf16_captions_per_sec": round(BATCH / p50_bf16, 1),
+                    "bf16_batch": BATCH,
                     "p50_batch_latency_ms_bf16": round(p50_bf16 * 1000, 1),
                     "engine_default_captions_per_sec": round(BATCH / p50_engine, 1),
                     "engine_default_settings": "rep_penalty=1.2 top_p=sweep(0.1..0.9) stop='.' filter=threshold, mapper included",

@@ -196,17 +196,19 @@ def _precompute_cross(params, cfg: BlipTextConfig, encoder_hidden_states):
     return ck, cv
 
 
-def _forward_cached(params, cfg: BlipTextConfig, tokens, cache: KVCache):
+def _forward_cached(params, cfg: BlipTextConfig, tokens, cache: KVCache,
+                    attend_len=None):
     b, t = tokens.shape
     heads, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
     max_len = cache.k.shape[2]
+    a_len = max_len if attend_len is None else min(int(attend_len), max_len)
     idx = cache.index
     eps = cfg.layer_norm_epsilon
 
     x = embeddings(params, cfg, tokens, position_offset=idx)
 
     qpos = idx + jnp.arange(t)[:, None]
-    kpos = jnp.arange(max_len)[None, :]
+    kpos = jnp.arange(a_len)[None, :]
     bias = jnp.where(kpos <= qpos, 0.0, NEG_INF)[None, None]
 
     # cache rides in the scan carry with in-place slab writes — see
@@ -224,8 +226,8 @@ def _forward_cached(params, cfg: BlipTextConfig, tokens, cache: KVCache):
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, v[None].astype(v_cache.dtype), (l, 0, idx, 0, 0)
         )
-        keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
-        vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
+        keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)[:, :a_len]
+        vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)[:, :a_len]
         x = _finish_attention(x, q, keys, vals, layer["self"], bias, eps)
         # cross-attention with precomputed K/V
         q2 = (jnp.dot(x, layer["cross"]["wq"]) + layer["cross"]["bq"]).reshape(b, t, heads, dh)
@@ -280,8 +282,10 @@ def decoder_lm(
     def prefill(params_, cfg_, token_ids, cache):
         return _forward_cached(params, cfg, token_ids, cache)
 
-    def decode_step(params_, cfg_, token_ids, cache):
-        logits, cache = _forward_cached(params, cfg, token_ids, cache)
+    def decode_step(params_, cfg_, token_ids, cache, attend_len=None):
+        logits, cache = _forward_cached(
+            params, cfg, token_ids, cache, attend_len=attend_len
+        )
         return logits[:, -1], cache
 
     return SimpleNamespace(

@@ -154,6 +154,7 @@ def _forward_cached(
     cache: KVCache,
     fresh: bool = False,
     full_logits: bool = True,
+    attend_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Shared prefill/step forward writing into the fixed-shape cache.
 
@@ -175,10 +176,19 @@ def _forward_cached(
     - full_logits=False: the tied lm_head runs on the LAST position only
       and returns [B, 1, V] — decode only ever consumes logits[:, -1]
       (a [B,40,50257] f32 logits tensor is 2 GB otherwise).
+    - attend_len (static): upper bound on the number of *written* cache
+      positions; attention reads only cache[:, :, :attend_len]. The KV
+      stream dominates decode HBM traffic, and early steps have written
+      far less than maxT — running the decode loop as a few scans with a
+      stepped attend_len (decode/engine.py segments) skips the unwritten
+      tail instead of streaming and masking it. Caller must guarantee
+      idx + t <= attend_len; results are bit-identical (masked positions
+      carry exactly-zero softmax weight either way).
     """
     b, t, d = inputs_embeds.shape
     h_heads, dh = cfg.n_head, d // cfg.n_head
     max_len = cache.k.shape[2]
+    a_len = max_len if attend_len is None else min(int(attend_len), max_len)
     idx = cache.index
 
     positions = idx + jnp.arange(t)
@@ -194,8 +204,8 @@ def _forward_cached(
     else:
         # causal-over-cache bias: query at position idx+i attends keys <= it
         qpos = idx + jnp.arange(t)[:, None]  # [T, 1]
-        kpos = jnp.arange(max_len)[None, :]  # [1, maxT]
-        bias = jnp.where(kpos <= qpos, 0.0, NEG_INF)[None, None]  # [1,1,T,maxT]
+        kpos = jnp.arange(a_len)[None, :]  # [1, a_len]
+        bias = jnp.where(kpos <= qpos, 0.0, NEG_INF)[None, None]  # [1,1,T,a_len]
 
     def scan_fn(carry, xs):
         x, k_cache, v_cache = carry
@@ -215,8 +225,8 @@ def _forward_cached(
         if fresh and t > 1:
             attn = dot_product_attention(q, k, v, bias=bias).reshape(b, t, d)
         elif t == 1:
-            keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
-            vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
+            keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)[:, :a_len]
+            vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)[:, :a_len]
             q1 = q[:, 0].astype(keys.dtype)  # [B, H, Dh]
             scores = jnp.einsum(
                 "bhd,bthd->bht", q1, keys, preferred_element_type=jnp.float32
@@ -225,8 +235,8 @@ def _forward_cached(
             w = jax.nn.softmax(scores, axis=-1).astype(vals.dtype)
             attn = jnp.einsum("bht,bthd->bhd", w, vals).reshape(b, 1, d)
         else:
-            keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
-            vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
+            keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)[:, :a_len]
+            vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)[:, :a_len]
             attn = dot_product_attention(q, keys, vals, bias=bias).reshape(b, t, d)
         attn = attn.astype(x.dtype)
         x = x + jnp.dot(attn, layer["attn"]["c_proj"]["w"]) + layer["attn"]["c_proj"]["b"]
@@ -268,11 +278,20 @@ def prefill(
 
 
 def decode_step(
-    params: dict, cfg: GPT2Config, token_embed: jnp.ndarray, cache: KVCache
+    params: dict,
+    cfg: GPT2Config,
+    token_embed: jnp.ndarray,
+    cache: KVCache,
+    attend_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """One autoregressive step: token_embed [B, 1, D] -> logits [B, V]."""
+    """One autoregressive step: token_embed [B, 1, D] -> logits [B, V].
+
+    attend_len (static, optional): see _forward_cached — read only the
+    first attend_len cache positions (must cover cache.index + 1).
+    """
     logits, cache = _forward_cached(
-        params, cfg, token_embed, cache, fresh=False, full_logits=False
+        params, cfg, token_embed, cache, fresh=False, full_logits=False,
+        attend_len=attend_len,
     )
     return logits[:, -1], cache
 
@@ -362,10 +381,12 @@ def _forward_cached_q8(
     cache: Int8KVCache,
     fresh: bool = False,
     full_logits: bool = False,
+    attend_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Int8KVCache]:
     b, t, d = inputs_embeds.shape
     h_heads, dh = cfg.n_head, d // cfg.n_head
     max_len = cache.k.shape[3]
+    a_len = max_len if attend_len is None else min(int(attend_len), max_len)
     idx = cache.index
     eps = cfg.layer_norm_epsilon
 
@@ -379,8 +400,8 @@ def _forward_cached_q8(
         ki = jnp.arange(t)[None, :]
         prefill_bias = jnp.where(ki <= qi, 0.0, NEG_INF)[None, None]
     else:
-        kpos = jnp.arange(max_len)[None, :]
-        step_bias = jnp.where(kpos <= idx + t - 1, 0.0, NEG_INF)  # [1, maxT]
+        kpos = jnp.arange(a_len)[None, :]
+        step_bias = jnp.where(kpos <= idx + t - 1, 0.0, NEG_INF)  # [1, a_len]
 
     def scan_fn(carry, xs):
         x, kc, vc, ksc, vsc = carry
@@ -413,10 +434,10 @@ def _forward_cached_q8(
             # no cache readback); the cache holds the quantized copy
             attn = dot_product_attention(q, k, v, bias=prefill_bias).reshape(b, t, d)
         else:
-            keys = jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False)  # [B,H,T,Dh] i8
-            vals = jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False)
-            skt = jax.lax.dynamic_index_in_dim(ksc, l, 0, keepdims=False)  # [B,H,T]
-            svt = jax.lax.dynamic_index_in_dim(vsc, l, 0, keepdims=False)
+            keys = jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False)[:, :, :a_len]
+            vals = jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False)[:, :, :a_len]
+            skt = jax.lax.dynamic_index_in_dim(ksc, l, 0, keepdims=False)[:, :, :a_len]
+            svt = jax.lax.dynamic_index_in_dim(vsc, l, 0, keepdims=False)[:, :, :a_len]
             q8, sq = quantize_rows(q[:, 0])  # [B,H,Dh] int8, sq [B,H,1]
             scores = jax.lax.dot_general(
                 q8, keys, (((2,), (3,)), ((0, 1), (0, 1))),
@@ -464,9 +485,15 @@ def prefill_q8(
 
 
 def decode_step_q8(
-    params: dict, cfg: GPT2Config, token_embed: jnp.ndarray, cache: Int8KVCache
+    params: dict,
+    cfg: GPT2Config,
+    token_embed: jnp.ndarray,
+    cache: Int8KVCache,
+    attend_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Int8KVCache]:
-    logits, cache = _forward_cached_q8(params, cfg, token_embed, cache)
+    logits, cache = _forward_cached_q8(
+        params, cfg, token_embed, cache, attend_len=attend_len
+    )
     return logits[:, -1], cache
 
 

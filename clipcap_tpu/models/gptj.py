@@ -174,18 +174,24 @@ def init_cache(cfg: GPTJConfig, batch: int, max_len: int, dtype=jnp.float32) -> 
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
 
 
-def _forward_cached(params, cfg, inputs_embeds, cache):
+def _forward_cached(params, cfg, inputs_embeds, cache, attend_len=None):
     """Cache rides in the layer-scan carry with in-place slab writes — see
-    models/gpt2.py:_forward_cached for why (1.6x decode throughput)."""
+    models/gpt2.py:_forward_cached for why (1.6x decode throughput).
+
+    attend_len (static, optional): read only the first attend_len cache
+    positions (caller guarantees cache.index + t <= attend_len); see
+    gpt2._forward_cached — bit-identical, skips the unwritten KV tail.
+    """
     b, t, d = inputs_embeds.shape
     heads, dh = cfg.n_head, d // cfg.n_head
     rd = cfg.rotary_dim
     max_len = cache.k.shape[2]
+    a_len = max_len if attend_len is None else min(int(attend_len), max_len)
     idx = cache.index
     positions = idx + jnp.arange(t)
 
     qpos = idx + jnp.arange(t)[:, None]
-    kpos = jnp.arange(max_len)[None, :]
+    kpos = jnp.arange(a_len)[None, :]
     bias = jnp.where(kpos <= qpos, 0.0, NEG_INF)[None, None]
     sin, cos = _rotary_sincos(positions, rd)
 
@@ -204,8 +210,8 @@ def _forward_cached(params, cfg, inputs_embeds, cache):
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, v[None].astype(v_cache.dtype), (l, 0, idx, 0, 0)
         )
-        keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
-        vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
+        keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)[:, :a_len]
+        vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)[:, :a_len]
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk",
             q.astype(jnp.float32),
@@ -235,6 +241,8 @@ def prefill(params, cfg, inputs_embeds, cache):
     return _forward_cached(params, cfg, inputs_embeds, cache)
 
 
-def decode_step(params, cfg, token_embed, cache):
-    logits, cache = _forward_cached(params, cfg, token_embed, cache)
+def decode_step(params, cfg, token_embed, cache, attend_len=None):
+    logits, cache = _forward_cached(
+        params, cfg, token_embed, cache, attend_len=attend_len
+    )
     return logits[:, -1], cache

@@ -280,12 +280,14 @@ def init_cache(cfg: T5Config, batch: int, max_len: int, dtype=jnp.float32) -> KV
     )
 
 
-def _decoder_cached(params, cfg: T5Config, dec_embeds, cache: KVCache):
+def _decoder_cached(params, cfg: T5Config, dec_embeds, cache: KVCache,
+                    attend_len=None):
     b, t, d = dec_embeds.shape
     max_len = cache.k.shape[2]
+    a_len = max_len if attend_len is None else min(int(attend_len), max_len)
     idx = cache.index
     qpos = idx + jnp.arange(t)
-    kpos = jnp.arange(max_len)
+    kpos = jnp.arange(a_len)
     self_bias = _position_bias(params["decoder"]["rel_bias"], qpos, kpos, False, cfg)
     causal = jnp.where(kpos[None, :] <= qpos[:, None], 0.0, NEG_INF)[None, None]
     self_bias = self_bias + causal
@@ -305,8 +307,8 @@ def _decoder_cached(params, cfg: T5Config, dec_embeds, cache: KVCache):
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, v[None].astype(v_cache.dtype), (l, 0, idx, 0, 0)
         )
-        keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)
-        vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)
+        keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)[:, :a_len]
+        vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)[:, :a_len]
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, keys, preferred_element_type=jnp.float32)
         logits = logits + self_bias.astype(jnp.float32)
         w = jax.nn.softmax(logits, axis=-1).astype(vals.dtype)
@@ -342,6 +344,9 @@ def prefill(params, cfg: T5Config, inputs_embeds, cache: KVCache,
     return _decoder_cached(params, cfg, inputs_embeds, cache)
 
 
-def decode_step(params, cfg: T5Config, token_embed, cache: KVCache):
-    logits, cache = _decoder_cached(params, cfg, token_embed, cache)
+def decode_step(params, cfg: T5Config, token_embed, cache: KVCache,
+                attend_len=None):
+    logits, cache = _decoder_cached(
+        params, cfg, token_embed, cache, attend_len=attend_len
+    )
     return logits[:, -1], cache

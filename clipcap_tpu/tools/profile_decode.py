@@ -33,7 +33,7 @@ def _time(fn, *args, reps=3):
     return ts[len(ts) // 2]
 
 
-def profile(cfg, params, params_q, batch: int, steps: int):
+def profile(cfg, params, params_q, batch: int, steps: int, paths=("bf16", "int8")):
     total_len = PREFIX_LEN + steps
     prefix = jax.random.normal(
         jax.random.PRNGKey(1), (batch, PREFIX_LEN, cfg.n_embd), jnp.bfloat16
@@ -56,6 +56,9 @@ def profile(cfg, params, params_q, batch: int, steps: int):
             gpt2.decode_step_q8,
         ),
     ):
+        if name not in paths:
+            continue
+
         @jax.jit
         def prefill_only(pp, prefix):
             cache = init_cache()
@@ -100,6 +103,8 @@ def main():
     ap.add_argument("--batches", default="256,512")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--variant", default="gpt2-xl")
+    ap.add_argument("--paths", default="bf16,int8",
+                    help="comma list of bf16,int8 (bf16 OOMs at batch>=512)")
     args = ap.parse_args()
 
     cfg = GPT2Config.variant(args.variant)
@@ -108,7 +113,8 @@ def main():
     )
     params_q = jax.jit(gpt2.quantize_params)(params)
     for b in (int(x) for x in args.batches.split(",")):
-        profile(cfg, params, params_q, b, args.steps)
+        profile(cfg, params, params_q, b, args.steps,
+                paths=tuple(args.paths.split(",")))
 
 
 if __name__ == "__main__":
