@@ -58,8 +58,10 @@ def forward(
     prefix: jnp.ndarray,  # [B, dim_clip] or [B, Tc, dim_clip]
     mask: Optional[jnp.ndarray] = None,  # [B, T] text attention mask
     remat: bool = False,
+    logits_slice=None,
 ) -> jnp.ndarray:
-    """Reference model.py:132-149. Returns logits [B, P+T, V]."""
+    """Reference model.py:132-149. Returns logits [B, P+T, V] (or the
+    logits_slice positions of it — see gpt2.apply)."""
     lm = get_lm(cfg.lm_type)
     embedding_text = lm.embed_tokens(params["lm"], tokens)
     prefix_projections = project_prefix(params, cfg, prefix).astype(embedding_text.dtype)
@@ -70,7 +72,8 @@ def forward(
     full_mask = jnp.concatenate(
         [jnp.ones(prefix_projections.shape[:-1], dtype=mask.dtype), mask], axis=1
     )
-    return lm.apply(params["lm"], lm_cfg, embedding_cat, attention_mask=full_mask, remat=remat)
+    return lm.apply(params["lm"], lm_cfg, embedding_cat, attention_mask=full_mask,
+                    remat=remat, logits_slice=logits_slice)
 
 
 def caption_loss(
@@ -88,17 +91,24 @@ def caption_loss(
     mask = tokens >= 0
     tokens = jnp.where(mask, tokens, 0)
 
-    logits = forward(params, cfg, lm_cfg, tokens, prefix, mask, remat=remat)
+    # predict token t from position (prefix_length - 1 + t): the head runs
+    # on exactly those positions (the slice the reference takes AFTER the
+    # full head, model.py:208 — here it moves before the head, which skips
+    # the dead prefix fifth of the vocab matmul and its logits memory)
     p = cfg.mapper.prefix_length
-    # predict token t from position (prefix_length - 1 + t)
-    logits = logits[:, p - 1 : -1]
+    total = p + tokens.shape[1]
+    logits = forward(params, cfg, lm_cfg, tokens, prefix, mask, remat=remat,
+                     logits_slice=(p - 1, total - 1))
 
     vocab = logits.shape[-1]
     logits_f = logits.astype(jnp.float32).reshape(-1, vocab)
     labels = tokens.reshape(-1)
 
-    log_probs = jax.nn.log_softmax(logits_f, axis=-1)
-    nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
+    # CE as logsumexp - picked logit: identical value to the log_softmax
+    # gather, but never materializes a [B*T, V] f32 normalized matrix
+    lse = jax.scipy.special.logsumexp(logits_f, axis=-1)
+    picked = jnp.take_along_axis(logits_f, labels[:, None], axis=-1)[:, 0]
+    nll = lse - picked
     # ignore_index=0: padding was zeroed above, and true id-0 tokens are
     # also dropped (reference quirk, model.py:209)
     valid = labels != 0

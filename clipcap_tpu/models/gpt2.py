@@ -108,12 +108,19 @@ def apply(
     inputs_embeds: jnp.ndarray,  # [B, T, D]
     attention_mask: Optional[jnp.ndarray] = None,  # [B, T] 1=attend
     remat: bool = False,
+    logits_slice: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """Full training/eval forward over inputs_embeds -> logits [B, T, V].
 
     The uniform `call(inputs_embeds, attention_mask)` surface of the
     reference LM wrappers (lms/GPT2.py:17-19). Loss is computed by the
     caller (models/captioner.py), matching reference model.py:208-209.
+
+    logits_slice=(start, stop): run the final LN + tied lm_head on
+    positions [start, stop) only and return [B, stop-start, V]. The
+    caption loss discards every position outside prefix_length-1:-1
+    (reference model.py:208), so slicing before the head skips the
+    dead fifth of its [*, D]x[D, 50257] matmul and logits memory.
     """
     b, t, d = inputs_embeds.shape
     positions = jnp.arange(t)
@@ -134,6 +141,8 @@ def apply(
         return body(carry, layer, bias), None
 
     x, _ = jax.lax.scan(scan_fn, x, params["blocks"])
+    if logits_slice is not None:
+        x = x[:, logits_slice[0] : logits_slice[1]]
     x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], eps=cfg.layer_norm_epsilon)
     logits = jnp.dot(x, params["wte"].T)  # tied lm_head
     return logits

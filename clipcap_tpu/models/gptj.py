@@ -145,6 +145,7 @@ def apply(
     inputs_embeds: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    logits_slice=None,
 ) -> jnp.ndarray:
     b, t, d = inputs_embeds.shape
     positions = jnp.arange(t)
@@ -164,6 +165,9 @@ def apply(
         return body(carry, layer), None
 
     x, _ = jax.lax.scan(scan_fn, inputs_embeds, params["blocks"])
+    if logits_slice is not None:
+        # head on the loss-relevant positions only (see gpt2.apply)
+        x = x[:, logits_slice[0] : logits_slice[1]]
     x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], eps=cfg.layer_norm_epsilon)
     return jnp.dot(x, params["lm_head"]["w"]) + params["lm_head"]["b"]
 

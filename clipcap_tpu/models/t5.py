@@ -234,6 +234,7 @@ def apply(
     attention_mask: Optional[jnp.ndarray] = None,
     decoder_inputs_embeds: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    logits_slice=None,
 ) -> jnp.ndarray:
     """The reference T0 `call` contract (lms/T0.py:19): the same embeds go
     to encoder and decoder unless decoder_inputs_embeds is given."""
@@ -252,6 +253,9 @@ def apply(
 
     x = _decode_stack(params, cfg, decoder_inputs_embeds, enc_hidden,
                       attention_mask, self_bias, cross_bias)
+    if logits_slice is not None:
+        # head on the loss-relevant positions only (see gpt2.apply)
+        x = x[:, logits_slice[0] : logits_slice[1]]
     return _lm_logits(params, cfg, x)
 
 
