@@ -46,7 +46,7 @@ def demo_generate_captions(
         prompt = jnp.concatenate([prefix_embed, bundle.embed_text(toks)], axis=1)
 
     if use_beam_search:
-        out = beam_search(bundle.lm, bundle.params["lm"], bundle.lm_cfg, prompt,
+        out = beam_search(bundle.lm_decode, bundle.lm_decode_params, bundle.lm_cfg, prompt,
                           beam_size=generation_kwargs.get("beam_size", 5),
                           max_new_tokens=generation_kwargs.get("entry_length", 67),
                           stop_token_id=bundle.tokenizer.encode_text(".")[0],
@@ -138,6 +138,10 @@ def main(argv=None):
     p.add_argument("--tensor_parallel", type=int, default=1,
                    help="model-axis size for tensor-parallel GPT-J decode "
                         "(heads + KV cache sharded over this many chips)")
+    p.add_argument("--int8_decode", action="store_true",
+                   help="int8 weight-streaming decode (gpt2/gptj): halves "
+                        "the per-token HBM stream; tokens can differ from "
+                        "bf16 at quantization boundaries")
     args = p.parse_args(argv)
 
     from ..eval.clip_scoring import ClipScoring
@@ -147,6 +151,9 @@ def main(argv=None):
     if args.tensor_parallel > 1:
         mesh = bundle.enable_tensor_parallel(args.tensor_parallel)
         print(f"tensor-parallel decode over mesh {dict(mesh.shape)}")
+    if args.int8_decode:
+        bundle.enable_int8_decode()
+        print("int8 weight-streaming decode enabled")
     ranker = load_clip_ranker(args.clip_model, args.clip_checkpoint, args.clip_merges)
     scoring = ClipScoring(ranker.vit_params, ranker.vit_cfg, ranker.text_params,
                           ranker.text_cfg, ranker.tokenizer)

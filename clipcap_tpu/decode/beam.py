@@ -18,6 +18,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _map_beam_axis(cache, fn):
+    """Apply fn to every beam-batched cache slab (axis 1 of the stacked
+    [L, B, ...] arrays). Generic over cache types: the bf16 KVCache's
+    k/v and the int8 caches' k/v/ks/vs (models/gpt2.py Int8KVCache);
+    scalar fields (index) pass through."""
+    upd = {name: fn(getattr(cache, name))
+           for name in ("k", "v", "ks", "vs") if hasattr(cache, name)}
+    return cache._replace(**upd)
+
+
 def beam_search(
     lm: Any,
     params: dict,
@@ -61,7 +71,7 @@ def beam_search(
     def rep(x):
         return jnp.repeat(x, beam_size, axis=1) if x.ndim > 0 else x
 
-    cache = type(cache)(k=rep(cache.k), v=rep(cache.v), index=cache.index)
+    cache = _map_beam_axis(cache, rep)
 
     embeds = lm.embed_tokens(params, first_tokens)[:, None, :].astype(prompt_embeds.dtype)
     logits, cache = lm.decode_step(params, lm_cfg, embeds, cache)
@@ -89,11 +99,7 @@ def beam_search(
         has_stopped = has_stopped[source]
         scores = top_avg * seq_lengths
 
-        cache = type(cache)(
-            k=jnp.take(cache.k, source, axis=1),
-            v=jnp.take(cache.v, source, axis=1),
-            index=cache.index,
-        )
+        cache = _map_beam_axis(cache, lambda x: jnp.take(x, source, axis=1))
         if stop_token_id is not None:
             has_stopped = has_stopped | (next_tok == stop_token_id)
 

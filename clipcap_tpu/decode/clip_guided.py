@@ -38,7 +38,7 @@ def generate_clip_guided(
     assert max_decode_length <= 77, "maximum context length for CLIP models is 77"
     tokenizer = bundle.tokenizer
     special = set(tokenizer.all_special_ids)
-    lm, params, lm_cfg = bundle.lm, bundle.params["lm"], bundle.lm_cfg
+    lm, params, lm_cfg = bundle.lm_decode, bundle.lm_decode_params, bundle.lm_cfg
 
     img = jnp.asarray(clip_image_embedding).reshape(-1)
     if img.ndim == 1:

@@ -80,7 +80,10 @@ class NoBeamCaptionSampler(CaptionSamplerBase):
         prompt = jnp.concatenate([prefix_rep, bundle.embed_text(bos)], axis=1)
 
         stop_id = tokenizer.encode_text(self.stop_token)[0]
-        key = (id(bundle), stop_id, tuple(tokenizer.all_special_ids))
+        # lm_decode identity keys the cache: enable_int8_decode() swaps the
+        # module mid-bundle and must invalidate the jitted closure
+        key = (id(bundle), id(bundle.lm_decode), stop_id,
+               tuple(tokenizer.all_special_ids))
         if self._gen_fn is None or self._gen_key != key:
             settings = GenerationSettings(
                 max_new_tokens=self.max_decode_length,
@@ -93,7 +96,7 @@ class NoBeamCaptionSampler(CaptionSamplerBase):
                 vocab_prefilter=self.vocab_prefilter,
             )
             constraint = getattr(bundle, "cache_constraint", None)
-            lm, lm_cfg = bundle.lm, bundle.lm_cfg
+            lm, lm_cfg = bundle.lm_decode, bundle.lm_cfg
 
             # jit the engine call (eager per-op dispatch over the TPU relay
             # costs seconds per image); settings are per-instance constants
@@ -103,7 +106,7 @@ class NoBeamCaptionSampler(CaptionSamplerBase):
                                 rng=rng, cache_constraint=constraint)
 
             self._gen_fn, self._gen_key = _run, key
-        out = self._gen_fn(bundle.params["lm"], prompt,
+        out = self._gen_fn(bundle.lm_decode_params, prompt,
                            jax.random.PRNGKey(self.seed))
         return trim_and_decode(out, tokenizer, strip_special=True)
 
@@ -148,7 +151,7 @@ class BeamCaptionSampler(CaptionSamplerBase):
     def generate_captions(self, bundle, prefix, image_embedding, image) -> List[str]:
         stop_id = bundle.tokenizer.encode_text(self.stop_token)[0]
         out = beam_search(
-            bundle.lm, bundle.params["lm"], bundle.lm_cfg, prefix,
+            bundle.lm_decode, bundle.lm_decode_params, bundle.lm_cfg, prefix,
             beam_size=self.beam_size, max_new_tokens=self.max_decode_length,
             temperature=self.temperature, stop_token_id=stop_id,
         )

@@ -37,6 +37,9 @@ class CaptionerBundle:
         # multi-chip decode hooks (set by enable_tensor_parallel)
         self.cache_constraint = None
         self.tp_mesh = None
+        # int8 weight-streaming decode (set by enable_int8_decode)
+        self._int8_lm = None
+        self._int8_lm_params = None
 
     # --- multi-chip -------------------------------------------------------------
 
@@ -63,6 +66,11 @@ class CaptionerBundle:
                 "MLP widths divide the model axis); GPT2-XL's 25 heads do "
                 "not split — use data parallelism (see PARITY.md)"
             )
+        if self._int8_lm is not None:
+            raise ValueError(
+                "int8 decode and tensor-parallel decode are mutually "
+                "exclusive (the TP shardings describe the bf16 layout)"
+            )
         n_dev = len(_jax.devices())
         dp = data_parallel or max(1, n_dev // model_parallel)
         mesh = make_mesh(MeshSpec(data=dp, model=model_parallel))
@@ -71,6 +79,55 @@ class CaptionerBundle:
         self.cache_constraint = sh.constrain_cache
         self.tp_mesh = mesh
         return mesh
+
+    # --- int8 decode ------------------------------------------------------------
+
+    def enable_int8_decode(self):
+        """Quantize the LM once for int8 weight-streaming decode.
+
+        Decode is HBM-bound (the per-token weight + KV stream); int8
+        weights with per-output-channel scales and an int8 KV cache halve
+        it — measured 425 vs 327 captions/s on GPT2-XL at batch 256
+        (bench.py). Only the *decode* surface switches (lm_decode /
+        lm_decode_params, used by the samplers, beam search and
+        cli/infer); forward/loss and embed_text keep the full-precision
+        params. Greedy tokens can differ from the bf16 path at
+        quantization boundaries (tests/test_gpt2_int8.py bounds the
+        disagreement).
+        """
+        from ..lm.registry import normalize_lm_type
+
+        if self.cache_constraint is not None:
+            raise ValueError(
+                "int8 decode and tensor-parallel decode are mutually "
+                "exclusive (the TP shardings describe the bf16 layout)"
+            )
+        t = normalize_lm_type(self.cap_cfg.lm_type)
+        if t == "gpt2":
+            from . import gpt2 as m
+
+            mod = m.gpt2_int8
+        elif t == "gptj":
+            from . import gptj as m
+
+            mod = m.gptj_int8
+        else:
+            raise ValueError(
+                f"int8 decode is implemented for gpt2/gptj, not {t!r}"
+            )
+        self._int8_lm_params = jax.jit(m.quantize_params)(self.params["lm"])
+        self._int8_lm = mod
+        return self
+
+    @property
+    def lm_decode(self):
+        """The LM module decode paths should drive (int8 when enabled)."""
+        return self._int8_lm if self._int8_lm is not None else self.lm
+
+    @property
+    def lm_decode_params(self):
+        return (self._int8_lm_params if self._int8_lm_params is not None
+                else self.params["lm"])
 
     # --- visual ---------------------------------------------------------------
 

@@ -250,3 +250,218 @@ def decode_step(params, cfg, token_embed, cache, attend_len=None):
         params, cfg, token_embed, cache, attend_len=attend_len
     )
     return logits[:, -1], cache
+
+
+# --------------------------------------------------------------------------
+# int8 weight-streaming decode path
+#
+# Same design as models/gpt2.py's int8 path (see the long comment there):
+# GPT-J 6B streams ~12 GB of bf16 weights per generated token — int8
+# weights (per-output-channel scales) plus an int8 KV cache (per-position
+# scales) halve the decode HBM stream and run the matmuls
+# int8 x int8 -> int32 on the MXU. Scoring folds the scales in f32 after
+# each integer matmul; prefill attention runs in f32 on this call's
+# q/k/v exactly like the bf16 path (GPT-J computes attention logits in
+# fp32). `gptj_int8` plugs into decode/engine like any LM module.
+# Replaces the reference GPTJ decode usage (lms/GPTJ.py + the full
+# recompute loops, inference.py:97/:249).
+
+from ..ops.quant import int8_linear, quantize_rows, quantize_weight  # noqa: E402
+
+
+class Int8KVCache(NamedTuple):
+    k: jnp.ndarray  # [L, B, H, maxT, Dh] int8 (post-rotary K)
+    v: jnp.ndarray  # [L, B, H, maxT, Dh] int8
+    ks: jnp.ndarray  # [L, B, H, maxT] f32 per-position K scales
+    vs: jnp.ndarray  # [L, B, H, maxT] f32 per-position V scales
+    index: jnp.ndarray  # scalar int32
+
+
+def quantize_params(params: dict) -> dict:
+    """bf16/f32 GPT-J params -> int8 decode params.
+
+    Matmul weights become {"q": int8, "s": f32[out]}; layernorms, biases
+    and the embedding table stay as-is (wte is a per-token gather).
+    """
+
+    def qlin(leaf):
+        return quantize_weight(leaf)
+
+    blocks = params["blocks"]
+    out = {
+        "wte": params["wte"],
+        "ln_f": params["ln_f"],
+        "blocks": {
+            "ln1": blocks["ln1"],
+            "attn": {k: qlin(blocks["attn"][k]) for k in ("wq", "wk", "wv", "wo")},
+            "mlp": {
+                "w_in": qlin(blocks["mlp"]["w_in"]),
+                "b_in": blocks["mlp"]["b_in"],
+                "w_out": qlin(blocks["mlp"]["w_out"]),
+                "b_out": blocks["mlp"]["b_out"],
+            },
+        },
+        "lm_head": {"w": qlin(params["lm_head"]["w"]), "b": params["lm_head"]["b"]},
+    }
+    return out
+
+
+def init_cache_q8(cfg: GPTJConfig, batch: int, max_len: int, dtype=None) -> Int8KVCache:
+    """int8 KV cache (dtype arg accepted for protocol compat, ignored)."""
+    l, h, dh = cfg.n_layer, cfg.n_head, cfg.n_embd // cfg.n_head
+    return Int8KVCache(
+        k=jnp.zeros((l, batch, h, max_len, dh), jnp.int8),
+        v=jnp.zeros((l, batch, h, max_len, dh), jnp.int8),
+        ks=jnp.zeros((l, batch, h, max_len), jnp.float32),
+        vs=jnp.zeros((l, batch, h, max_len), jnp.float32),
+        index=jnp.zeros((), jnp.int32),
+    )
+
+
+def _forward_cached_q8(
+    params: dict,
+    cfg: GPTJConfig,
+    inputs_embeds: jnp.ndarray,  # [B, T, D]
+    cache: Int8KVCache,
+    fresh: bool = False,
+    full_logits: bool = False,
+    attend_len: Optional[int] = None,
+) -> Tuple[jnp.ndarray, Int8KVCache]:
+    b, t, d = inputs_embeds.shape
+    heads, dh = cfg.n_head, d // cfg.n_head
+    rd = cfg.rotary_dim
+    max_len = cache.k.shape[3]
+    a_len = max_len if attend_len is None else min(int(attend_len), max_len)
+    idx = cache.index
+    eps = cfg.layer_norm_epsilon
+    positions = idx + jnp.arange(t)
+    sin, cos = _rotary_sincos(positions, rd)
+
+    if fresh and t > 1:
+        qi = jnp.arange(t)[:, None]
+        ki = jnp.arange(t)[None, :]
+        prefill_bias = jnp.where(ki <= qi, 0.0, NEG_INF)[None, None]
+    else:
+        kpos = jnp.arange(a_len)[None, :]
+        step_bias = jnp.where(kpos <= idx + t - 1, 0.0, NEG_INF)  # [1, a_len]
+
+    x = inputs_embeds.astype(jnp.bfloat16)
+
+    def scan_fn(carry, xs):
+        x, kc, vc, ksc, vsc = carry
+        layer, l = xs
+        h = layer_norm(x, layer["ln1"]["g"], layer["ln1"]["b"], eps=eps)
+        q = int8_linear(h, layer["attn"]["wq"]).reshape(b, t, heads, dh)
+        k = int8_linear(h, layer["attn"]["wk"]).reshape(b, t, heads, dh)
+        v = int8_linear(h, layer["attn"]["wv"]).reshape(b, t, heads, dh)
+        q = jnp.concatenate([_apply_rotary(q[..., :rd], sin, cos), q[..., rd:]], axis=-1)
+        k = jnp.concatenate([_apply_rotary(k[..., :rd], sin, cos), k[..., rd:]], axis=-1)
+
+        # quantize the post-rotary K and V per (b, t, h), store head-major
+        k8, sk = quantize_rows(k)
+        v8, sv = quantize_rows(v)
+        kc = jax.lax.dynamic_update_slice(
+            kc, k8.transpose(0, 2, 1, 3)[None], (l, 0, 0, idx, 0)
+        )
+        vc = jax.lax.dynamic_update_slice(
+            vc, v8.transpose(0, 2, 1, 3)[None], (l, 0, 0, idx, 0)
+        )
+        ksc = jax.lax.dynamic_update_slice(
+            ksc, sk[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, idx)
+        )
+        vsc = jax.lax.dynamic_update_slice(
+            vsc, sv[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, idx)
+        )
+
+        if fresh and t > 1:
+            # prefill in f32 on this call's q/k/v (GPT-J attention policy),
+            # skipping the maxT-wide zero-cache readback
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(jnp.float32(dh))
+            logits = logits + prefill_bias.astype(jnp.float32)
+            w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, d)
+        else:
+            keys = jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False)[:, :, :a_len]
+            vals = jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False)[:, :, :a_len]
+            skt = jax.lax.dynamic_index_in_dim(ksc, l, 0, keepdims=False)[:, :, :a_len]
+            svt = jax.lax.dynamic_index_in_dim(vsc, l, 0, keepdims=False)[:, :, :a_len]
+            q8, sq = quantize_rows(q[:, 0])  # [B,H,Dh] int8, sq [B,H,1]
+            scores = jax.lax.dot_general(
+                q8, keys, (((2,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)  # [B,H,a_len]
+            scores = scores * sq * skt * (dh**-0.5) + step_bias[:, None, :]
+            p = jax.nn.softmax(scores, axis=-1)
+            pv8, sp = quantize_rows(p * svt)  # fold V scales into the probs
+            attn = jax.lax.dot_general(
+                pv8, vals, (((2,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * sp  # [B,H,Dh]
+            attn = attn.reshape(b, 1, d)
+        attn = attn.astype(x.dtype)
+        attn_out = int8_linear(attn, layer["attn"]["wo"])
+
+        # parallel residual off the same layernormed h
+        m = int8_linear(h, layer["mlp"]["w_in"], layer["mlp"]["b_in"])
+        m = gelu_new(m)
+        mlp_out = int8_linear(m, layer["mlp"]["w_out"], layer["mlp"]["b_out"])
+        return (x + attn_out + mlp_out, kc, vc, ksc, vsc), None
+
+    (x, kc, vc, ksc, vsc), _ = jax.lax.scan(
+        scan_fn,
+        (x, cache.k, cache.v, cache.ks, cache.vs),
+        (params["blocks"], jnp.arange(cfg.n_layer)),
+    )
+    if not full_logits:
+        x = x[:, -1:]
+    x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], eps=eps)
+    logits = int8_linear(x, params["lm_head"]["w"], params["lm_head"]["b"],
+                         out_dtype=jnp.float32)
+    return logits, Int8KVCache(k=kc, v=vc, ks=ksc, vs=vsc, index=idx + t)
+
+
+def prefill_q8(
+    params: dict,
+    cfg: GPTJConfig,
+    inputs_embeds: jnp.ndarray,
+    cache: Int8KVCache,
+    full_logits: bool = False,
+) -> Tuple[jnp.ndarray, Int8KVCache]:
+    """int8-path prefill. Requires a fresh cache (index 0), like prefill()."""
+    return _forward_cached_q8(
+        params, cfg, inputs_embeds, cache, fresh=True, full_logits=full_logits
+    )
+
+
+def decode_step_q8(
+    params: dict,
+    cfg: GPTJConfig,
+    token_embed: jnp.ndarray,
+    cache: Int8KVCache,
+    attend_len: Optional[int] = None,
+) -> Tuple[jnp.ndarray, Int8KVCache]:
+    logits, cache = _forward_cached_q8(
+        params, cfg, token_embed, cache, attend_len=attend_len
+    )
+    return logits[:, -1], cache
+
+
+class _Int8Module:
+    """lm/registry-protocol adapter for the int8 GPT-J decode path.
+
+    Use `gptj.quantize_params(params)` once, then pass `gptj.gptj_int8` as
+    the engine's lm module with the quantized params.
+    """
+
+    takes_token_ids = False
+    init_cache = staticmethod(init_cache_q8)
+    prefill = staticmethod(prefill_q8)
+    decode_step = staticmethod(decode_step_q8)
+    embed_tokens = staticmethod(embed_tokens)
+    embedding_size = staticmethod(embedding_size)
+
+
+gptj_int8 = _Int8Module()
