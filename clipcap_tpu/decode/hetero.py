@@ -46,14 +46,18 @@ def _settings_cache_key(settings: GenerationSettings):
 _SAMPLE_CACHE: dict = {}
 
 
-def _compiled_sample(text_cfg: BlipTextConfig, settings: GenerationSettings, key):
-    cache_key = (text_cfg, key)
+def _compiled_sample(text_cfg: BlipTextConfig, settings: GenerationSettings, key,
+                     sample_count: int):
+    cache_key = (text_cfg, key, sample_count)
     fn = _SAMPLE_CACHE.get(cache_key)
     if fn is None:
 
         @jax.jit
         def fn(text_params, img, img_mask, prompt_arr, rng):
-            lm = blip_text.decoder_lm(text_params, text_cfg, img, img_mask)
+            # img is UNREPEATED [B_img, Tv, D]; the decoder shares each
+            # image's cross K/V across its sample_count candidate rows
+            lm = blip_text.decoder_lm(text_params, text_cfg, img, img_mask,
+                                      repeat=sample_count)
             return generate(lm, text_params, text_cfg, prompt_arr, settings,
                             rng=rng, prompt_tokens=prompt_arr)
 
@@ -93,8 +97,10 @@ def sample(
     batch = image_embeds.shape[0]
     total = batch * sample_count
 
-    # repeat image features per sample (reference :288)
-    img = jnp.repeat(image_embeds, sample_count, axis=0)
+    # the reference repeats image features per sample (:288); here the
+    # repeat lives in the decoder's cross-attention (decoder_lm repeat=),
+    # so each image's K/V are streamed once per step, not sample_count times
+    img = image_embeds
     img_mask = jnp.ones(img.shape[:-1], jnp.int32)
 
     bos = tokenizer.bos_token_id
@@ -135,7 +141,8 @@ def sample(
     # hyperparameters repeat across images within a sweep trial / caption
     # run, so the jitted closure (settings baked as constants, which also
     # keeps the static filter gating) compiles once and is reused.
-    run_fn = _compiled_sample(text_cfg, settings, _settings_cache_key(settings))
+    run_fn = _compiled_sample(text_cfg, settings, _settings_cache_key(settings),
+                              sample_count)
 
     captions, parameters, stats = [], [], []
     for run in range(num_runs):

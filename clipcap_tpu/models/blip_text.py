@@ -98,6 +98,38 @@ def _finish_attention(h_q, q, k, v, attn_p, bias, eps):
     return layer_norm(h_q + out, attn_p["ln"]["g"], attn_p["ln"]["b"], eps=eps)
 
 
+def _finish_attention_grouped(h_q, q, k, v, attn_p, bias, eps, repeat: int):
+    """_finish_attention where `repeat` consecutive query rows share one
+    K/V row (k/v batch = q batch / repeat).
+
+    Gen-B samples `sample_count` candidate captions per image by repeating
+    the image row (reference sampling.py:288) — but the cross-attention
+    K/V of those rows are IDENTICAL, and streaming them per candidate row
+    made the repeated K/V the dominant decode traffic (~850 MB/step at 40
+    candidates, BLIP-base, 577 image tokens). Folding the repeat into the
+    query axis reads each image's K/V once per step (40x less) and turns
+    the per-row attention matvecs into [repeat, Tv] matmuls.
+    """
+    if repeat == 1:
+        return _finish_attention(h_q, q, k, v, attn_p, bias, eps)
+    b, tq, heads, dh = q.shape
+    d = heads * dh
+    bi = b // repeat
+    # rows are image-major ([img0 x repeat, img1 x repeat, ...], the
+    # jnp.repeat layout), so (b, tq) -> (bi, repeat*tq) is a pure reshape
+    qg = q.reshape(bi, repeat * tq, heads, dh)
+    logits = (
+        jnp.einsum("bqhd,bkhd->bhqk", qg, k, preferred_element_type=jnp.float32)
+        * (dh**-0.5)
+    )
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)  # [bi,1,1,Tv] broadcasts
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, tq, d)
+    out = jnp.dot(out, attn_p["wo"]) + attn_p["bo"]
+    return layer_norm(h_q + out, attn_p["ln"]["g"], attn_p["ln"]["b"], eps=eps)
+
+
 def _ffn(x, mlp, eps: float):
     h = gelu_exact(jnp.dot(x, mlp["w1"]) + mlp["b1"])
     h = jnp.dot(h, mlp["w2"]) + mlp["b2"]
@@ -197,7 +229,7 @@ def _precompute_cross(params, cfg: BlipTextConfig, encoder_hidden_states):
 
 
 def _forward_cached(params, cfg: BlipTextConfig, tokens, cache: KVCache,
-                    attend_len=None):
+                    attend_len=None, cross_repeat: int = 1):
     b, t = tokens.shape
     heads, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
     max_len = cache.k.shape[2]
@@ -229,9 +261,10 @@ def _forward_cached(params, cfg: BlipTextConfig, tokens, cache: KVCache,
         keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)[:, :a_len]
         vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)[:, :a_len]
         x = _finish_attention(x, q, keys, vals, layer["self"], bias, eps)
-        # cross-attention with precomputed K/V
+        # cross-attention with precomputed (and possibly row-shared) K/V
         q2 = (jnp.dot(x, layer["cross"]["wq"]) + layer["cross"]["bq"]).reshape(b, t, heads, dh)
-        x = _finish_attention(x, q2, ck, cv, layer["cross"], cache.cross_bias, eps)
+        x = _finish_attention_grouped(x, q2, ck, cv, layer["cross"],
+                                      cache.cross_bias, eps, cross_repeat)
         x = _ffn(x, layer["mlp"], eps)
         return (x, k_cache, v_cache), None
 
@@ -250,6 +283,7 @@ def decoder_lm(
     cfg: BlipTextConfig,
     encoder_hidden_states: jnp.ndarray,
     encoder_attention_mask: Optional[jnp.ndarray] = None,
+    repeat: int = 1,
 ):
     """Adapter exposing the framework LM protocol over (params, image feats).
 
@@ -259,6 +293,12 @@ def decoder_lm(
     to feed ids. Cross-attention K/V are precomputed here once from the
     image tokens (the reference recomputes them every generated token,
     sampling.py:193).
+
+    repeat > 1: each image row serves `repeat` consecutive decode rows
+    (Gen-B's sample_count candidates, reference sampling.py:288) — pass
+    the UNREPEATED image features; the cross K/V are stored and streamed
+    once per image instead of once per candidate (see
+    _finish_attention_grouped).
     """
     ck, cv = _precompute_cross(params, cfg, encoder_hidden_states)
     cross_bias = None
@@ -268,6 +308,11 @@ def decoder_lm(
         )
 
     def init_cache(cfg_, batch, max_len, dtype=None):
+        if batch != encoder_hidden_states.shape[0] * repeat:
+            raise ValueError(
+                f"decode batch {batch} != images {encoder_hidden_states.shape[0]}"
+                f" x repeat {repeat}"
+            )
         # activations follow the image features' dtype (bf16 on TPU); the
         # engine's f32 token-mode fallback would silently upcast every layer
         dtype = encoder_hidden_states.dtype if dtype is None else dtype
@@ -280,11 +325,13 @@ def decoder_lm(
         )
 
     def prefill(params_, cfg_, token_ids, cache):
-        return _forward_cached(params, cfg, token_ids, cache)
+        return _forward_cached(params, cfg, token_ids, cache,
+                               cross_repeat=repeat)
 
     def decode_step(params_, cfg_, token_ids, cache, attend_len=None):
         logits, cache = _forward_cached(
-            params, cfg, token_ids, cache, attend_len=attend_len
+            params, cfg, token_ids, cache, attend_len=attend_len,
+            cross_repeat=repeat,
         )
         return logits[:, -1], cache
 

@@ -94,3 +94,32 @@ def test_generate_engine_drives_blip_adapter(models):
     assert out["tokens"].shape == (3, 6)
     toks0 = np.asarray(out["tokens"][0])[: int(out["lengths"][0])]
     assert 3 not in toks0[:-1]
+
+
+def test_grouped_cross_attention_matches_repeated_rows(models):
+    """decoder_lm(repeat=S) over unrepeated image rows must match
+    decoder_lm(repeat=1) over jnp.repeat'ed rows (the Gen-B layout,
+    reference sampling.py:288) — the grouped path streams each image's
+    cross K/V once instead of once per candidate row."""
+    _, params = models
+    rng = np.random.default_rng(2)
+    S = 3
+    img = jnp.asarray(rng.normal(size=(2, 5, 48)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(0, 64, size=(2 * S, 8)))
+
+    lm_rep = blip_text.decoder_lm(params, CFG, jnp.repeat(img, S, axis=0))
+    cache = lm_rep.init_cache(CFG, batch=2 * S, max_len=10)
+    ref, cache = lm_rep.prefill(params, CFG, tokens[:, :6], cache)
+    ref_step, _ = lm_rep.decode_step(params, CFG, tokens[:, 6:7], cache)
+
+    lm_grp = blip_text.decoder_lm(params, CFG, img, repeat=S)
+    cache_g = lm_grp.init_cache(CFG, batch=2 * S, max_len=10)
+    got, cache_g = lm_grp.prefill(params, CFG, tokens[:, :6], cache_g)
+    got_step, _ = lm_grp.decode_step(params, CFG, tokens[:, 6:7], cache_g)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_step), np.asarray(ref_step), atol=1e-5, rtol=1e-5)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lm_grp.init_cache(CFG, batch=5, max_len=10)  # not images x repeat
