@@ -34,6 +34,9 @@ def _settings_cache_key(settings: GenerationSettings):
 
     def leaf(x):
         if isinstance(x, (jnp.ndarray, np.ndarray)):
+            # sample() builds per-row vectors as host numpy precisely so
+            # this hashing never touches the device (np.asarray on a
+            # device array costs a ~30 ms relay round-trip EACH)
             return ("arr", x.shape, str(x.dtype), tuple(np.asarray(x).ravel().tolist()))
         return x
 
@@ -110,22 +113,25 @@ def sample(
     prompt_arr = jnp.asarray(np.tile(np.asarray(prompt_ids, np.int32), (total, 1)))
     n_prompt = prompt_arr.shape[1]
 
-    def per_sample(x, dtype=jnp.float32):
-        x = jnp.asarray(x, dtype)
+    def per_sample(x, dtype=np.float32):
+        # host numpy: these vectors go into GenerationSettings (jit-cache
+        # hashed by value) and back into the result metadata — keeping
+        # them off the device avoids one relay round-trip per array
+        x = np.asarray(jax.device_get(x), dtype)
         if x.ndim == 0:
-            return jnp.broadcast_to(x, (total,))
+            return np.broadcast_to(x, (total,))
         # one value per sample slot, tiled over images
-        return jnp.tile(x.reshape(-1), batch)[:total]
+        return np.tile(x.reshape(-1), batch)[:total]
 
-    max_len_v = per_sample(max_len, jnp.int32)
+    max_len_v = per_sample(max_len, np.int32)
     settings = GenerationSettings(
-        max_new_tokens=int(jax.device_get(jnp.max(max_len_v))) + 1,
+        max_new_tokens=int(max_len_v.max()) + 1,
         top_p=per_sample(top_p),
         top_k=per_sample(top_k),
         typ_p=per_sample(typ_p),
         repetition_penalty=repetition_penalty,
         eos_token_id=int(eos),
-        min_length=per_sample(min_len, jnp.int32),
+        min_length=per_sample(min_len, np.int32),
         max_length=max_len_v,
         force_eos_log_prob=float(force_eos_log_prob),
         min_alternate_prob=float(min_alternate_prob),
@@ -148,12 +154,16 @@ def sample(
     for run in range(num_runs):
         rng, run_rng = jax.random.split(rng)
         out = run_fn(text_params, img, img_mask, prompt_arr, run_rng)
-        tokens = np.asarray(jax.device_get(out["tokens"]))
-        lengths = np.asarray(jax.device_get(out["lengths"]))
-        eos_lp = np.asarray(jax.device_get(out["eos_logprob"]))
-        min_v = np.asarray(jax.device_get(settings.min_length))
-        max_v = np.asarray(jax.device_get(settings.max_length))
-        top_p_v = np.asarray(jax.device_get(settings.top_p))
+        # ONE bundled transfer: each separate device_get costs a full
+        # relay round-trip (~30 ms); the settings vectors are already host
+        # numpy (per_sample above)
+        tokens, lengths, eos_lp = (
+            np.asarray(a) for a in jax.device_get(
+                (out["tokens"], out["lengths"], out["eos_logprob"]))
+        )
+        min_v = np.asarray(settings.min_length)
+        max_v = np.asarray(settings.max_length)
+        top_p_v = np.asarray(settings.top_p)
 
         for i in range(total):
             ids = [int(t) for t in tokens[i][: lengths[i]]]
