@@ -121,9 +121,10 @@ def beam_search(
 
 def best_beam_text(result: dict, tokenizer) -> str:
     """Host-side: decode the highest-scoring beam (reference :140-144)."""
-    tokens = jax.device_get(result["tokens"])
-    lengths = jax.device_get(result["seq_lengths"])
-    scores = jax.device_get(result["scores"])
+    # one bundled transfer (a device fetch costs a full relay round-trip)
+    tokens, lengths, scores = jax.device_get(
+        (result["tokens"], result["seq_lengths"], result["scores"])
+    )
     order = scores.argsort()[::-1]
     best = int(order[0])
     ids = [int(t) for t in tokens[best][: int(lengths[best])]]

@@ -359,8 +359,8 @@ def trim_and_decode(
     dropped, and special tokens are stripped when requested
     (reference evaluate_model.py:174).
     """
-    tokens = jax.device_get(result["tokens"])
-    lengths = jax.device_get(result["lengths"])
+    # one bundled transfer (a device fetch costs a full relay round-trip)
+    tokens, lengths = jax.device_get((result["tokens"], result["lengths"]))
     special = set(getattr(tokenizer, "all_special_ids", ())) if strip_special else set()
     special |= set(skip_ids)
     texts = []

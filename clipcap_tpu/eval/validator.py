@@ -80,7 +80,11 @@ class CocoCaptionValidator(CaptionValidator):
                 captions = sampler.sample(bundle, jnp.asarray(image_tensor), image)
                 self.caption_hypo[sampler_id][image_entry.id] = [{"caption": captions[0]}]
 
-                clip_scores = self.clip_scoring.score_image(image, captions)
+                # fetch all scores in one transfer (per-element float() of a
+                # device array costs a relay round-trip per caption)
+                clip_scores = np.asarray(
+                    jax.device_get(self.clip_scoring.score_image(image, captions))
+                )
                 captions_result = []
                 for i, c in enumerate(captions):
                     cs = float(clip_scores[0, i])

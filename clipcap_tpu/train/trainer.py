@@ -54,7 +54,8 @@ def fit(
             global_step += 1
 
             if global_step % train_cfg.log_every_n_steps == 0:
-                m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                # fetch the whole metrics dict in one transfer
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 now = time.time()
                 m["steps_per_sec"] = train_cfg.log_every_n_steps / max(now - t_last, 1e-9)
                 m["epoch"] = epoch
