@@ -8,20 +8,31 @@ image embedding, commit the whole lookahead (or one token with
 step_by_step), repeat until a special token or max_decode_length.
 
 The reference expands the tree with one LM forward per node
-(branching^depth sequential calls); here each tree *level* is one batched
-KV-free forward over all live leaves, and all candidate texts encode in a
-single CLIP text batch.
+(branching^depth sequential calls); here each tree *level* is ONE jitted
+fixed-shape call: embeddings live in a [rows, maxT, D] padded buffer, the
+level forward + repetition penalty + top-k + child-embedding scatter all
+happen on-device, and the host fetches only the [rows, k] token ids it
+needs for bookkeeping (special-token stops, final text decode). Shapes
+are static per tree level (rows = branching^d, padded maxT), so the
+whole decode compiles look_ahead graphs once and then costs one device
+call + one small fetch per level — running this loop eagerly pays a
+~30 ms relay round-trip per op and is unusable on the TPU tunnel.
+Early-stopped leaves stay in the batch (their children are ignored on
+the host) to keep the level shapes static; candidate texts still encode
+in a single CLIP text batch.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.sampling import repetition_penalty
+
+_LEVEL_CACHE: dict = {}
 
 
 def generate_clip_guided(
@@ -38,84 +49,139 @@ def generate_clip_guided(
     assert max_decode_length <= 77, "maximum context length for CLIP models is 77"
     tokenizer = bundle.tokenizer
     special = set(tokenizer.all_special_ids)
-    lm, params, lm_cfg = bundle.lm_decode, bundle.lm_decode_params, bundle.lm_cfg
+    # full-precision apply(): the lookahead runs whole-sequence forwards
+    # (reference semantics — no KV cache in the tree), which the int8
+    # decode modules don't implement
+    lm, params, lm_cfg = bundle.lm, bundle.params["lm"], bundle.lm_cfg
+    k = branching_factor
 
     img = jnp.asarray(clip_image_embedding).reshape(-1)
-    if img.ndim == 1:
-        img = img / jnp.linalg.norm(img)
+    img = img / jnp.linalg.norm(img)
 
     # prepend BOS (reference evaluate_model.py:253-257)
     bos = jnp.full((1, 1), tokenizer.bos_token_id, jnp.int32)
-    embeds = jnp.concatenate([prefix_embeds, bundle.embed_text(bos)], axis=1)
+    base = jax.device_get(
+        jnp.concatenate([prefix_embeds, bundle.embed_text(bos)], axis=1)
+    )
+    p_len = base.shape[1]
+    d_model = base.shape[2]
+    max_t = p_len + max_decode_length
+    dtype = base.dtype
+
+    # one compiled level step per rows-count (k^0 .. k^(look_ahead-1));
+    # embeds are padded to max_t so T never retraces
+    def make_level_fn():
+        @jax.jit
+        def level(params, embeds_pad, n_valid, hist, hist_valid):
+            """embeds_pad [R, maxT, D]; n_valid (traced scalar): columns
+            filled so far. Returns (topk ids [R, k], children [R*k, maxT, D])."""
+            rows = embeds_pad.shape[0]
+            mask = jnp.arange(max_t)[None, :] < n_valid
+            logits = lm.apply(
+                params, lm_cfg, embeds_pad, attention_mask=mask
+            ).astype(jnp.float32)
+            last = logits[jnp.arange(rows), n_valid - 1]  # [R, V]
+            if repetition_penalty_value != 1.0:
+                last = repetition_penalty(
+                    last, hist, repetition_penalty_value, tokens_valid=hist_valid
+                )
+            _, topk = jax.lax.top_k(last, k)  # [R, k]
+            emb_new = lm.embed_tokens(params, topk).astype(dtype)  # [R, k, D]
+            children = jnp.repeat(embeds_pad, k, axis=0)  # [R*k, maxT, D]
+            children = jax.lax.dynamic_update_slice(
+                children, emb_new.reshape(rows * k, 1, d_model),
+                (0, n_valid.astype(jnp.int32), 0),
+            )
+            return topk, children
+
+        return level
+
+    level_fn = _LEVEL_CACHE.get((id(bundle), max_t))
+    if level_fn is None:
+        level_fn = make_level_fn()
+        if len(_LEVEL_CACHE) > 16:
+            _LEVEL_CACHE.clear()
+        _LEVEL_CACHE[(id(bundle), max_t)] = level_fn
+
+    def pad_rows(arr_np):  # [R, T, D] -> [R, maxT, D]
+        out = np.zeros((arr_np.shape[0], max_t, d_model), dtype)
+        out[:, : arr_np.shape[1]] = arr_np
+        return out
 
     committed_tokens: List[int] = []
-    committed_embeds = embeds
+    committed_pad = jnp.asarray(pad_rows(base))  # [1, maxT, D]
 
-    def expand(leaf_tokens, leaf_embeds, depth):
-        """One batched greedy top-k expansion per level. Returns candidate
-        (tokens list, embeds) pairs incl. early-stopped leaves."""
-        candidates = []
+    def expand(leaf_tokens, leaf_pad, depth):
+        """Greedy top-k tree expansion, one jitted call per level."""
+        candidates = []  # (token list, padded embeds row [maxT, D], stopped)
         tokens_list = [leaf_tokens]
-        embeds_batch = leaf_embeds  # [L, T, D]
+        live = [True]
+        embeds_pad = leaf_pad
         for d in range(depth):
-            logits = lm.apply(params, lm_cfg, embeds_batch)[:, -1].astype(jnp.float32)
-            if repetition_penalty_value != 1.0:
-                max_hist = max(max((len(t) for t in tokens_list), default=0), 1)
-                hist = np.zeros((len(tokens_list), max_hist), np.int32)
-                valid = np.zeros_like(hist, bool)
-                for i, t in enumerate(tokens_list):
-                    if t:
-                        hist[i, : len(t)] = t
-                        valid[i, : len(t)] = True
-                logits = repetition_penalty(
-                    logits, jnp.asarray(hist), repetition_penalty_value,
-                    tokens_valid=jnp.asarray(valid),
-                )
-            _, topk = jax.lax.top_k(logits, branching_factor)
-            topk = np.asarray(jax.device_get(topk))  # [L, k]
+            n_valid = p_len + len(leaf_tokens) + d
+            # hist padded to the static maximum so the level never retraces
+            hist = np.zeros((len(tokens_list), max_decode_length), np.int32)
+            valid = np.zeros_like(hist, bool)
+            for i, t in enumerate(tokens_list):
+                if t:
+                    hist[i, : len(t)] = t
+                    valid[i, : len(t)] = True
+            topk, children = level_fn(
+                params, embeds_pad, jnp.asarray(n_valid, jnp.int32),
+                jnp.asarray(hist), jnp.asarray(valid)
+            )
+            topk = np.asarray(jax.device_get(topk))  # the ONE fetch per level
 
-            new_tokens_list = []
-            new_embed_rows = []
+            new_tokens, new_live, keep_rows = [], [], []
             for i, toks in enumerate(tokens_list):
-                for k in range(branching_factor):
-                    nt = int(topk[i, k])
+                for j in range(k):
+                    row = i * k + j
+                    if not live[i]:
+                        # child of an early-stopped leaf: dead padding row,
+                        # kept on device for static shapes, ignored here
+                        new_tokens.append(toks)
+                        new_live.append(False)
+                        continue
+                    nt = int(topk[i, j])
                     seq = toks + [nt]
-                    emb = jnp.concatenate(
-                        [embeds_batch[i : i + 1],
-                         bundle.embed_text(jnp.asarray([[nt]], jnp.int32))],
-                        axis=1,
-                    )
                     if nt in special or d == depth - 1:
-                        candidates.append((seq, emb, nt in special))
+                        candidates.append((seq, row, nt in special))
+                        new_tokens.append(seq)
+                        new_live.append(False)
                     else:
-                        new_tokens_list.append(seq)
-                        new_embed_rows.append(emb)
-            if not new_tokens_list:
+                        new_tokens.append(seq)
+                        new_live.append(True)
+                        keep_rows.append(row)
+            tokens_list, live, embeds_pad = new_tokens, new_live, children
+            if not keep_rows:
                 break
-            tokens_list = new_tokens_list
-            embeds_batch = jnp.concatenate(new_embed_rows, axis=0)
-        return candidates
+        return candidates, embeds_pad
 
     while True:
         depth = min(look_ahead, max_decode_length - len(committed_tokens))
-        candidates = expand(list(committed_tokens), committed_embeds, max(depth, 1))
+        candidates, final_embeds = expand(
+            list(committed_tokens), committed_pad, max(depth, 1)
+        )
 
         texts = [tokenizer.decode_tokens([t for t in c[0] if t not in special])
                  for c in candidates]
         text_feats = clip_scoring.embed_text(texts)
         text_feats = text_feats / jnp.linalg.norm(text_feats, axis=-1, keepdims=True)
-        sims = text_feats @ img
-        best = int(np.asarray(jax.device_get(jnp.argmax(sims))))
-        best_tokens, best_embeds, stopped = candidates[best]
+        best = int(np.asarray(jax.device_get(jnp.argmax(text_feats @ img))))
+        best_tokens, best_row, stopped = candidates[best]
+        best_pad = final_embeds[best_row : best_row + 1]
 
         if step_by_step:
             committed_tokens = best_tokens[: len(committed_tokens) + 1]
-            committed_embeds = best_embeds[:, : committed_embeds.shape[1] + 1]
+            # re-extend from the committed prefix only: zero the tail
+            keep = p_len + len(committed_tokens)
+            col = jnp.arange(max_t)[None, :, None] < keep
+            committed_pad = jnp.where(col, best_pad, 0).astype(best_pad.dtype)
             last = committed_tokens[-1]
             if len(committed_tokens) >= max_decode_length or last in special:
                 break
         else:
-            committed_tokens, committed_embeds = best_tokens, best_embeds
+            committed_tokens, committed_pad = best_tokens, best_pad
             if stopped or len(committed_tokens) >= max_decode_length:
                 break
 
