@@ -66,6 +66,9 @@ def main(argv=None):
     p.add_argument("--prefix_only", action="store_true")
     p.add_argument("--max_samples", type=int, default=10)
     p.add_argument("--manual_seed", type=int, default=42)
+    p.add_argument("--int8_decode", action="store_true",
+                   help="int8 weight-streaming decode for the samplers "
+                        "(gpt2/gptj; see models/bundle.enable_int8_decode)")
     args = p.parse_args(argv)
 
     from ..eval.clip_scoring import ClipScoring
@@ -73,6 +76,8 @@ def main(argv=None):
 
     bundle = load_captioner_bundle(args.checkpoint_path, args.tokenizer_vocab_dir,
                                    prefix_only=args.prefix_only)
+    if args.int8_decode:
+        bundle.enable_int8_decode()
     ranker = load_clip_ranker(args.clip_model, args.clip_checkpoint, args.clip_merges)
     scoring = ClipScoring(ranker.vit_params, ranker.vit_cfg, ranker.text_params,
                           ranker.text_cfg, ranker.tokenizer)
