@@ -229,6 +229,66 @@ def _bench_genb_synthesis(sample_count: int = 40, iters: int = 3) -> float:
     return min(ts) * 1000.0
 
 
+def _bench_single_caption_latency(cfg, params) -> float:
+    """Serving latency: ONE caption (batch 1, int8 path) end to end —
+    prefill + 32 greedy steps. BASELINE.md asks for p50 latency alongside
+    the throughput headline; at batch 1 every step is a pure weight-stream
+    (~1.6 GB int8 per token)."""
+    import jax
+    import jax.numpy as jnp
+
+    prefix = jax.random.normal(
+        jax.random.PRNGKey(7), (1, PREFIX_LEN, cfg.n_embd), jnp.bfloat16
+    )
+    return _bench_decode_raw(cfg, params, prefix, int8=True, batch=1) * 1000.0
+
+
+def _bench_native_loader(rows: int = 8192, prefix_dim: int = 512,
+                         tok_len: int = 128, batch: int = 256) -> float:
+    """C++ shard loader throughput (native/npy_loader.cpp): background
+    prefetch thread feeding pre-batched rows (the TokenPrefixDataset
+    replacement, reference dataset.py:76-180). Returns rows/sec; 0.0 if
+    the native library can't build on this host."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    try:
+        from clipcap_tpu.data.native_loader import (
+            NativeTokenPrefixDataset, build_native,
+        )
+        if build_native() is None:
+            return 0.0
+    except Exception:
+        return 0.0
+
+    tmp = tempfile.mkdtemp(prefix="bench_shards_")
+    try:
+        import os
+
+        os.makedirs(f"{tmp}/prefixes"), os.makedirs(f"{tmp}/tokens")
+        rng = np.random.default_rng(0)
+        per_shard = rows // 4
+        for s in range(4):
+            np.save(f"{tmp}/prefixes/{s:03d}.npy",
+                    rng.normal(size=(per_shard, prefix_dim)).astype(np.float32))
+            np.save(f"{tmp}/tokens/{s:03d}.npy",
+                    rng.integers(0, 50257, size=(per_shard, tok_len)).astype(np.int64))
+        loader = NativeTokenPrefixDataset(tmp, batch_size=batch)
+        n_batches = rows // batch
+        it = iter(loader)
+        next(it)  # warm the prefetch thread
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            next(it)
+        dt = time.perf_counter() - t0
+        loader.close()
+        return n_batches * batch / dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_train_step(batch: int = 128, seq: int = 40):
     """Training-step throughput for BASELINE config #1 (ViT-B/32-prefix +
     GPT-2 small prefix training over precomputed shards). Returns
@@ -299,9 +359,11 @@ def main():
     p50_bf16 = _bench_decode_raw(cfg, params, prefix, int8=False)
     p50_int8 = _bench_decode_raw(cfg, params, prefix_512, int8=True, batch=batch_int8)
     p50_engine = _bench_engine_default(cfg, params)
+    single_ms = _bench_single_caption_latency(cfg, params)
     vit_ips = _bench_vit_preprocess()
     genb_ms = _bench_genb_synthesis()
     train_steps_s, train_tokens_s = _bench_train_step()
+    loader_rows_s = _bench_native_loader()
 
     captions_per_sec = batch_int8 / p50_int8
 
@@ -328,6 +390,8 @@ def main():
                     "genb_blip_synthesis_ms_per_image_40cand": round(genb_ms, 1),
                     "train_step_config1_steps_per_sec": round(train_steps_s, 2),
                     "train_step_config1_tokens_per_sec": round(train_tokens_s, 1),
+                    "single_caption_p50_latency_ms_int8": round(single_ms, 1),
+                    "native_shard_loader_rows_per_sec": round(loader_rows_s, 1),
                 },
             }
         )
