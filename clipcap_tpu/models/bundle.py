@@ -34,9 +34,11 @@ class CaptionerBundle:
         self._project = jax.jit(
             lambda p, x: captioner.project_prefix(p, self.cap_cfg, x)
         )
-        # multi-chip decode hooks (set by enable_tensor_parallel)
+        # multi-chip decode hooks (set by enable_tensor_parallel /
+        # enable_data_parallel_decode)
         self.cache_constraint = None
         self.tp_mesh = None
+        self._decode_sharding = None  # None | "tp" | "dp"
         # int8 weight-streaming decode (set by enable_int8_decode)
         self._int8_lm = None
         self._int8_lm_params = None
@@ -71,6 +73,10 @@ class CaptionerBundle:
                 "int8 decode and tensor-parallel decode are mutually "
                 "exclusive (the TP shardings describe the bf16 layout)"
             )
+        if self._decode_sharding is not None:
+            raise ValueError(
+                f"{self._decode_sharding} decode sharding already enabled"
+            )
         n_dev = len(_jax.devices())
         dp = data_parallel or max(1, n_dev // model_parallel)
         mesh = make_mesh(MeshSpec(data=dp, model=model_parallel))
@@ -78,6 +84,39 @@ class CaptionerBundle:
         self.params["lm"] = _jax.device_put(self.params["lm"], sh.params)
         self.cache_constraint = sh.constrain_cache
         self.tp_mesh = mesh
+        self._decode_sharding = "tp"
+        return mesh
+
+    def enable_data_parallel_decode(self, data_parallel: Optional[int] = None):
+        """Shard decode over the batch axis: params replicated on every
+        chip, KV cache batch-sharded (parallel/dp.py) — the generation
+        equivalent of the reference's DDP and the multi-chip scale-out
+        for GPT-2 (whose 25 heads do not split tensor-parallel). Composes
+        with enable_int8_decode (the int8 caches' scale slabs shard like
+        k/v); mutually exclusive with tensor-parallel decode.
+        """
+        import jax as _jax
+
+        from ..core.mesh import MeshSpec, make_mesh
+        from ..parallel.dp import dp_decode_shardings
+
+        if self._decode_sharding is not None:
+            raise ValueError(
+                f"{self._decode_sharding} decode sharding already enabled"
+            )
+        dp = data_parallel or len(_jax.devices())
+        mesh = make_mesh(MeshSpec(data=dp, model=1))
+        sh = dp_decode_shardings(mesh)
+        self.params["lm"] = _jax.device_put(
+            self.params["lm"], sh.params(self.params["lm"])
+        )
+        if self._int8_lm_params is not None:
+            self._int8_lm_params = _jax.device_put(
+                self._int8_lm_params, sh.params(self._int8_lm_params)
+            )
+        self.cache_constraint = sh.constrain_cache
+        self.tp_mesh = mesh
+        self._decode_sharding = "dp"
         return mesh
 
     # --- int8 decode ------------------------------------------------------------
@@ -97,7 +136,7 @@ class CaptionerBundle:
         """
         from ..lm.registry import normalize_lm_type
 
-        if self.cache_constraint is not None:
+        if self._decode_sharding == "tp":
             raise ValueError(
                 "int8 decode and tensor-parallel decode are mutually "
                 "exclusive (the TP shardings describe the bf16 layout)"
