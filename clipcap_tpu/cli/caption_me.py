@@ -59,6 +59,10 @@ def main(argv=None):
     p.add_argument("--set_top_p", type=float, default=None)
     p.add_argument("--set_min_len", type=int, default=None)
     p.add_argument("--set_max_len", type=int, default=None)
+    p.add_argument("--int8_decode", action="store_true",
+                   help="int8 weight-streaming BLIP text decoder (rankers "
+                        "keep full precision; a wash at the default 40-"
+                        "candidate batch, wins for small sample_count)")
     # offline model assets
     p.add_argument("--blip_checkpoint", required=True)
     p.add_argument("--blip_vocab", required=True, help="BERT vocab.txt")
@@ -86,6 +90,8 @@ def main(argv=None):
         tokenizer=tokenizer, clip_rankers=clip_rankers,
         blip_ranker=BLIPRanker(blip_params, vit_cfg, text_cfg, tokenizer),
     )
+    if args.int8_decode:
+        engine.enable_int8_decode()
 
     image = Image.open(args.image).convert("RGB")
     ranked, all_captions = caption_image(

@@ -29,6 +29,7 @@ from ..core.config import BlipTextConfig
 from ..ops.activations import gelu_exact
 from ..ops.attention import NEG_INF
 from ..ops.layernorm import layer_norm
+from ..ops.quant import linear
 
 
 def init(rng: jax.Array, cfg: BlipTextConfig, dtype=jnp.float32) -> dict:
@@ -77,9 +78,9 @@ def _post_ln_attention(h_q, kv, attn_p, heads: int, bias, eps: float):
     b, tq, d = h_q.shape
     tk = kv.shape[1]
     dh = d // heads
-    q = (jnp.dot(h_q, attn_p["wq"]) + attn_p["bq"]).reshape(b, tq, heads, dh)
-    k = (jnp.dot(kv, attn_p["wk"]) + attn_p["bk"]).reshape(b, tk, heads, dh)
-    v = (jnp.dot(kv, attn_p["wv"]) + attn_p["bv"]).reshape(b, tk, heads, dh)
+    q = linear(h_q, attn_p["wq"], attn_p["bq"]).reshape(b, tq, heads, dh)
+    k = linear(kv, attn_p["wk"], attn_p["bk"]).reshape(b, tk, heads, dh)
+    v = linear(kv, attn_p["wv"], attn_p["bv"]).reshape(b, tk, heads, dh)
     return _finish_attention(h_q, q, k, v, attn_p, bias, eps)
 
 
@@ -94,7 +95,7 @@ def _finish_attention(h_q, q, k, v, attn_p, bias, eps):
         logits = logits + bias.astype(jnp.float32)
     w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, tq, d)
-    out = jnp.dot(out, attn_p["wo"]) + attn_p["bo"]
+    out = linear(out, attn_p["wo"], attn_p["bo"])
     return layer_norm(h_q + out, attn_p["ln"]["g"], attn_p["ln"]["b"], eps=eps)
 
 
@@ -126,13 +127,13 @@ def _finish_attention_grouped(h_q, q, k, v, attn_p, bias, eps, repeat: int):
         logits = logits + bias.astype(jnp.float32)  # [bi,1,1,Tv] broadcasts
     w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, tq, d)
-    out = jnp.dot(out, attn_p["wo"]) + attn_p["bo"]
+    out = linear(out, attn_p["wo"], attn_p["bo"])
     return layer_norm(h_q + out, attn_p["ln"]["g"], attn_p["ln"]["b"], eps=eps)
 
 
 def _ffn(x, mlp, eps: float):
-    h = gelu_exact(jnp.dot(x, mlp["w1"]) + mlp["b1"])
-    h = jnp.dot(h, mlp["w2"]) + mlp["b2"]
+    h = gelu_exact(linear(x, mlp["w1"], mlp["b1"]))
+    h = linear(h, mlp["w2"], mlp["b2"])
     return layer_norm(x + h, mlp["ln"]["g"], mlp["ln"]["b"], eps=eps)
 
 
@@ -195,10 +196,10 @@ def apply(
 
 def lm_logits(params: dict, cfg: BlipTextConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     """MLM-style head: dense -> gelu -> LayerNorm -> decoder matmul."""
-    h = gelu_exact(jnp.dot(hidden, params["cls"]["transform"]["w"]) + params["cls"]["transform"]["b"])
+    h = gelu_exact(linear(hidden, params["cls"]["transform"]["w"], params["cls"]["transform"]["b"]))
     h = layer_norm(h, params["cls"]["transform_ln"]["g"], params["cls"]["transform_ln"]["b"],
                    eps=cfg.layer_norm_epsilon)
-    return jnp.dot(h, params["cls"]["decoder"]["w"]) + params["cls"]["decoder"]["b"]
+    return linear(h, params["cls"]["decoder"]["w"], params["cls"]["decoder"]["b"])
 
 
 # ---------------------------------------------------------------------------
@@ -220,8 +221,8 @@ def _precompute_cross(params, cfg: BlipTextConfig, encoder_hidden_states):
     h, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
 
     def per_layer(_, layer):
-        k = (jnp.dot(encoder_hidden_states, layer["cross"]["wk"]) + layer["cross"]["bk"])
-        v = (jnp.dot(encoder_hidden_states, layer["cross"]["wv"]) + layer["cross"]["bv"])
+        k = linear(encoder_hidden_states, layer["cross"]["wk"], layer["cross"]["bk"])
+        v = linear(encoder_hidden_states, layer["cross"]["wv"], layer["cross"]["bv"])
         return None, (k.reshape(b, tv, h, dh), v.reshape(b, tv, h, dh))
 
     _, (ck, cv) = jax.lax.scan(per_layer, None, params["blocks"])
@@ -249,9 +250,9 @@ def _forward_cached(params, cfg: BlipTextConfig, tokens, cache: KVCache,
         x, k_cache, v_cache = carry
         layer, ck, cv, l = xs
         h_q = x
-        q = (jnp.dot(h_q, layer["self"]["wq"]) + layer["self"]["bq"]).reshape(b, t, heads, dh)
-        k = (jnp.dot(h_q, layer["self"]["wk"]) + layer["self"]["bk"]).reshape(b, t, heads, dh)
-        v = (jnp.dot(h_q, layer["self"]["wv"]) + layer["self"]["bv"]).reshape(b, t, heads, dh)
+        q = linear(h_q, layer["self"]["wq"], layer["self"]["bq"]).reshape(b, t, heads, dh)
+        k = linear(h_q, layer["self"]["wk"], layer["self"]["bk"]).reshape(b, t, heads, dh)
+        v = linear(h_q, layer["self"]["wv"], layer["self"]["bv"]).reshape(b, t, heads, dh)
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, k[None].astype(k_cache.dtype), (l, 0, idx, 0, 0)
         )
@@ -262,7 +263,7 @@ def _forward_cached(params, cfg: BlipTextConfig, tokens, cache: KVCache,
         vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)[:, :a_len]
         x = _finish_attention(x, q, keys, vals, layer["self"], bias, eps)
         # cross-attention with precomputed (and possibly row-shared) K/V
-        q2 = (jnp.dot(x, layer["cross"]["wq"]) + layer["cross"]["bq"]).reshape(b, t, heads, dh)
+        q2 = linear(x, layer["cross"]["wq"], layer["cross"]["bq"]).reshape(b, t, heads, dh)
         x = _finish_attention_grouped(x, q2, ck, cv, layer["cross"],
                                       cache.cross_bias, eps, cross_repeat)
         x = _ffn(x, layer["mlp"], eps)
@@ -341,3 +342,50 @@ def decoder_lm(
         decode_step=decode_step,
         takes_token_ids=True,
     )
+
+
+def quantize_params(params: dict) -> dict:
+    """bf16/f32 BLIP text params -> int8 decode params.
+
+    Every matmul weight (self/cross attention projections, MLP, the MLM
+    head) becomes {"q": int8, "s": f32[out]} consumed by ops.quant.linear's
+    dispatch — the forward code is shared between precisions. Embedding
+    tables, biases and layernorms stay dense. Gen-B decode streams the
+    decoder weights once per generated token (reference sampling.py:193
+    recomputes everything); quantizing halves that stream.
+    """
+    from ..ops.quant import quantize_weight
+
+    def attn(a):
+        out = {k: quantize_weight(a[k]) for k in ("wq", "wk", "wv", "wo")}
+        out.update({k: a[k] for k in ("bq", "bk", "bv", "bo", "ln")})
+        return out
+
+    blocks = params["blocks"]
+    return {
+        "word_embeddings": params["word_embeddings"],
+        "position_embeddings": params["position_embeddings"],
+        "emb_ln": params["emb_ln"],
+        "blocks": {
+            "self": attn(blocks["self"]),
+            "cross": attn(blocks["cross"]),
+            "mlp": {
+                "w1": quantize_weight(blocks["mlp"]["w1"]),
+                "b1": blocks["mlp"]["b1"],
+                "w2": quantize_weight(blocks["mlp"]["w2"]),
+                "b2": blocks["mlp"]["b2"],
+                "ln": blocks["mlp"]["ln"],
+            },
+        },
+        "cls": {
+            "transform": {
+                "w": quantize_weight(params["cls"]["transform"]["w"]),
+                "b": params["cls"]["transform"]["b"],
+            },
+            "transform_ln": params["cls"]["transform_ln"],
+            "decoder": {
+                "w": quantize_weight(params["cls"]["decoder"]["w"]),
+                "b": params["cls"]["decoder"]["b"],
+            },
+        },
+    }

@@ -126,3 +126,34 @@ def test_clip_bpe_tokenize_semantics():
     assert long[0, -1] == tok.eot_token
     with pytest.raises(RuntimeError):
         tok.tokenize("the cat dog the cat dog", context_length=4)
+
+
+def test_int8_blip_decoder_tracks_f32():
+    """blip_text.quantize_params + the quant-dispatching linears: int8
+    synthesis must track the full-precision decoder (same engine path,
+    logits correlated, tokens mostly agreeing)."""
+    from clipcap_tpu.decode import GenerationSettings, generate
+
+    text_cfg = TEXT_CFG
+    params = blip_text.init(jax.random.PRNGKey(7), text_cfg)
+    img = jax.random.normal(jax.random.PRNGKey(8), (2, 6, text_cfg.encoder_width)) * 0.1
+
+    q = blip_text.quantize_params(params)
+    prompt = jnp.asarray(np.tile(np.array([[2, 11, 12]]), (4, 1)))
+    settings = GenerationSettings(max_new_tokens=8, greedy=True, eos_token_id=3)
+
+    lm = blip_text.decoder_lm(params, text_cfg, img, repeat=2)
+    want = np.asarray(generate(lm, params, text_cfg, prompt, settings)["tokens"])
+    lm8 = blip_text.decoder_lm(q, text_cfg, img, repeat=2)
+    got = np.asarray(generate(lm8, q, text_cfg, prompt, settings)["tokens"])
+    agree = (want == got).mean()
+    assert agree >= 0.6, f"token agreement {agree}"
+
+    # logits parity on the prefill (tighter check than greedy trajectories)
+    cache = lm.init_cache(text_cfg, batch=4, max_len=12)
+    ref, _ = lm.prefill(params, text_cfg, prompt, cache)
+    cache8 = lm8.init_cache(text_cfg, batch=4, max_len=12)
+    out8, _ = lm8.prefill(q, text_cfg, prompt, cache8)
+    corr = np.corrcoef(np.asarray(ref, np.float32).ravel(),
+                       np.asarray(out8, np.float32).ravel())[0, 1]
+    assert corr > 0.995, corr
