@@ -150,9 +150,16 @@ class CaptionerBundle:
             from . import gptj as m
 
             mod = m.gptj_int8
+        elif t == "t5":
+            from . import t5 as m
+
+            # t5's linears dispatch on quantized leaves (ops.quant.linear),
+            # so the regular module drives the int8 params directly; int8
+            # is what fits T0-11B (22 GB bf16) on a 16 GB chip at all
+            mod = m
         else:
             raise ValueError(
-                f"int8 decode is implemented for gpt2/gptj, not {t!r}"
+                f"int8 decode is implemented for gpt2/gptj/t5, not {t!r}"
             )
         self._int8_lm_params = jax.jit(m.quantize_params)(self.params["lm"])
         self._int8_lm = mod

@@ -28,6 +28,7 @@ from ..core.config import T5Config
 from ..ops.activations import gelu_new
 from ..ops.attention import NEG_INF
 from ..ops.layernorm import rms_norm
+from ..ops.quant import linear
 
 
 # ---------------------------------------------------------------------------
@@ -168,24 +169,24 @@ def _attend(h_q, h_kv, attn, num_heads: int, d_kv: int, bias):
     """Unscaled T5 attention. h_q [B,Tq,D], h_kv [B,Tk,D], bias [.,H,Tq,Tk]."""
     b, tq, _ = h_q.shape
     tk = h_kv.shape[1]
-    q = jnp.dot(h_q, attn["wq"]).reshape(b, tq, num_heads, d_kv)
-    k = jnp.dot(h_kv, attn["wk"]).reshape(b, tk, num_heads, d_kv)
-    v = jnp.dot(h_kv, attn["wv"]).reshape(b, tk, num_heads, d_kv)
+    q = linear(h_q, attn["wq"]).reshape(b, tq, num_heads, d_kv)
+    k = linear(h_kv, attn["wk"]).reshape(b, tk, num_heads, d_kv)
+    v = linear(h_kv, attn["wv"]).reshape(b, tk, num_heads, d_kv)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, tq, num_heads * d_kv)
-    return jnp.dot(out, attn["wo"])
+    return linear(out, attn["wo"])
 
 
 def _mlp(h, mlp, cfg: T5Config):
     if cfg.feed_forward_proj == "gated-gelu":
-        gate = gelu_new(jnp.dot(h, mlp["wi_0"]))
-        h = gate * jnp.dot(h, mlp["wi_1"])
+        gate = gelu_new(linear(h, mlp["wi_0"]))
+        h = gate * linear(h, mlp["wi_1"])
     else:
-        h = jax.nn.relu(jnp.dot(h, mlp["wi_0"]))
-    return jnp.dot(h, mlp["wo"])
+        h = jax.nn.relu(linear(h, mlp["wi_0"]))
+    return linear(h, mlp["wo"])
 
 
 def _encode(params, cfg: T5Config, embeds, attention_mask):
@@ -224,7 +225,7 @@ def _lm_logits(params, cfg: T5Config, x):
     if cfg.tie_word_embeddings:
         x = x * (cfg.d_model**-0.5)
         return jnp.dot(x, params["shared"].T)
-    return jnp.dot(x, params["lm_head"]["w"])
+    return linear(x, params["lm_head"]["w"])
 
 
 def apply(
@@ -302,9 +303,9 @@ def _decoder_cached(params, cfg: T5Config, dec_embeds, cache: KVCache,
         x, k_cache, v_cache = carry
         layer, l = xs
         h = rms_norm(x, layer["ln1"]["g"], eps=cfg.layer_norm_epsilon)
-        q = jnp.dot(h, layer["self_attn"]["wq"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
-        k = jnp.dot(h, layer["self_attn"]["wk"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
-        v = jnp.dot(h, layer["self_attn"]["wv"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
+        q = linear(h, layer["self_attn"]["wq"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
+        k = linear(h, layer["self_attn"]["wk"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
+        v = linear(h, layer["self_attn"]["wv"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, k[None].astype(k_cache.dtype), (l, 0, idx, 0, 0)
         )
@@ -317,7 +318,7 @@ def _decoder_cached(params, cfg: T5Config, dec_embeds, cache: KVCache,
         logits = logits + self_bias.astype(jnp.float32)
         w = jax.nn.softmax(logits, axis=-1).astype(vals.dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", w, vals).reshape(b, t, -1)
-        x = x + jnp.dot(attn, layer["self_attn"]["wo"])
+        x = x + linear(attn, layer["self_attn"]["wo"])
 
         h = rms_norm(x, layer["ln2"]["g"], eps=cfg.layer_norm_epsilon)
         x = x + _attend(h, cache.enc_hidden, layer["cross_attn"], cfg.num_heads,
@@ -354,3 +355,53 @@ def decode_step(params, cfg: T5Config, token_embed, cache: KVCache,
         params, cfg, token_embed, cache, attend_len=attend_len
     )
     return logits[:, -1], cache
+
+
+def quantize_params(params: dict) -> dict:
+    """bf16/f32 T5 params -> int8 decode params (ops.quant.linear dispatch).
+
+    Attention projections and MLP weights quantize per-output-channel;
+    the shared embedding table, relative-bias tables and RMSNorm scales
+    stay dense. Beyond halving the per-token weight stream, this is what
+    lets a T0-11B-class checkpoint FIT a single 16 GB chip at all
+    (22 GB bf16 -> ~11 GB int8). With tied embeddings the lm_head stays
+    the dense shared-table transpose (it is the embedding lookup table).
+    """
+    from ..ops.quant import quantize_weight
+
+    def attn(a):
+        return {k: quantize_weight(a[k]) for k in ("wq", "wk", "wv", "wo")}
+
+    def mlp(m):
+        out = {k: quantize_weight(m[k]) for k in m if k.startswith("wi") or k == "wo"}
+        return out
+
+    def stack(blocks, names):
+        out = {}
+        for name, sub in blocks.items():
+            if name in ("ln1", "ln2", "ln3"):
+                out[name] = sub
+            elif name in ("attn", "self_attn", "cross_attn"):
+                out[name] = attn(sub)
+            elif name == "mlp":
+                out[name] = mlp(sub)
+            else:
+                raise ValueError(f"unexpected t5 block entry {name!r}")
+        return out
+
+    q = {
+        "shared": params["shared"],
+        "encoder": {
+            "blocks": stack(params["encoder"]["blocks"], None),
+            "rel_bias": params["encoder"]["rel_bias"],
+            "ln_f": params["encoder"]["ln_f"],
+        },
+        "decoder": {
+            "blocks": stack(params["decoder"]["blocks"], None),
+            "rel_bias": params["decoder"]["rel_bias"],
+            "ln_f": params["decoder"]["ln_f"],
+        },
+    }
+    if "lm_head" in params:
+        q["lm_head"] = {"w": quantize_weight(params["lm_head"]["w"])}
+    return q

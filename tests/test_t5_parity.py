@@ -89,3 +89,39 @@ def test_embed_surface():
     toks = jnp.asarray([[1, 2, 3]])
     ref = np.asarray(params["shared"])[np.array([[1, 2, 3]])]
     np.testing.assert_array_equal(np.asarray(t5.embed_tokens(params, toks)), ref)
+
+
+def test_int8_params_track_f32_decode():
+    """t5.quantize_params + the quant-dispatching linears: cached decode
+    with int8 weights tracks the f32 path (prefill logits correlated,
+    greedy steps mostly agreeing). int8 is what fits T0-11B on one chip."""
+    from clipcap_tpu.core.config import T5Config
+    from clipcap_tpu.models import t5 as m
+
+    cfg = T5Config(vocab_size=96, d_model=32, d_kv=8, d_ff=64, num_heads=4,
+                   num_layers=2, num_decoder_layers=2,
+                   feed_forward_proj="gated-gelu", tie_word_embeddings=True)
+    params = m.init(jax.random.PRNGKey(0), cfg)
+    q = m.quantize_params(params)
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (2, 6, cfg.d_model)) * 0.1
+
+    cache = m.init_cache(cfg, batch=2, max_len=12)
+    ref, rc = m.prefill(params, cfg, embeds, cache)
+    cache8 = m.init_cache(cfg, batch=2, max_len=12)
+    got, qc = m.prefill(q, cfg, embeds, cache8)
+    corr = np.corrcoef(np.asarray(ref, np.float32).ravel(),
+                       np.asarray(got, np.float32).ravel())[0, 1]
+    assert corr > 0.995, corr
+
+    agree = 0
+    n = 8
+    rt = jnp.argmax(ref[:, -1], axis=-1)
+    qt = jnp.argmax(got[:, -1], axis=-1)
+    for _ in range(n):
+        agree += int((rt == qt).sum())
+        remb = m.embed_tokens(params, rt)[:, None, :]
+        qemb = m.embed_tokens(q, qt)[:, None, :]
+        rl, rc = m.decode_step(params, cfg, remb, rc)
+        ql, qc = m.decode_step(q, cfg, qemb, qc)
+        rt, qt = jnp.argmax(rl, axis=-1), jnp.argmax(ql, axis=-1)
+    assert agree / (2 * n) >= 0.6, agree / (2 * n)
