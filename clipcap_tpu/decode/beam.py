@@ -19,10 +19,12 @@ import jax.numpy as jnp
 
 
 def _map_beam_axis(cache, fn):
-    """Apply fn to every beam-batched cache slab (axis 1 of the stacked
-    [L, B, ...] arrays). Generic over cache types: the bf16 KVCache's
-    k/v and the int8 caches' k/v/ks/vs (models/gpt2.py Int8KVCache);
-    scalar fields (index) pass through."""
+    """Apply fn to every SELF-attention cache slab that follows beam
+    reordering (axis 1 of the stacked [L, B, ...] arrays): the bf16
+    KVCache's k/v and the int8 caches' k/v/ks/vs scale slabs. This list
+    is deliberately narrower than parallel/dp.py's batch-axis map —
+    cross-attention / encoder tensors are shared by all beams of the one
+    prompt and must NOT be gathered per beam."""
     upd = {name: fn(getattr(cache, name))
            for name in ("k", "v", "ks", "vs") if hasattr(cache, name)}
     return cache._replace(**upd)

@@ -32,8 +32,6 @@ import numpy as np
 
 from ..ops.sampling import repetition_penalty
 
-_LEVEL_CACHE: dict = {}
-
 
 def generate_clip_guided(
     bundle,  # models.bundle.CaptionerBundle
@@ -96,12 +94,17 @@ def generate_clip_guided(
 
         return level
 
-    level_fn = _LEVEL_CACHE.get((id(bundle), max_t))
+    # the compiled closure bakes in branching_factor / repetition penalty /
+    # lm+cfg, so every one of those keys the cache; living on the bundle
+    # object ties the cache lifetime to the bundle (no id() reuse after GC)
+    cache_store = bundle.__dict__.setdefault("_clip_guided_level_cache", {})
+    cache_key = (max_t, k, repetition_penalty_value, id(lm))
+    level_fn = cache_store.get(cache_key)
     if level_fn is None:
         level_fn = make_level_fn()
-        if len(_LEVEL_CACHE) > 16:
-            _LEVEL_CACHE.clear()
-        _LEVEL_CACHE[(id(bundle), max_t)] = level_fn
+        if len(cache_store) > 16:
+            cache_store.clear()
+        cache_store[cache_key] = level_fn
 
     def pad_rows(arr_np):  # [R, T, D] -> [R, maxT, D]
         out = np.zeros((arr_np.shape[0], max_t, d_model), dtype)
@@ -112,8 +115,12 @@ def generate_clip_guided(
     committed_pad = jnp.asarray(pad_rows(base))  # [1, maxT, D]
 
     def expand(leaf_tokens, leaf_pad, depth):
-        """Greedy top-k tree expansion, one jitted call per level."""
-        candidates = []  # (token list, padded embeds row [maxT, D], stopped)
+        """Greedy top-k tree expansion, one jitted call per level.
+
+        Each candidate records (tokens, ITS OWN level's children array,
+        row, stopped): early-stopped leaves come from earlier levels whose
+        row indices do not address the final level's array."""
+        candidates = []  # (token list, children array, row, stopped)
         tokens_list = [leaf_tokens]
         live = [True]
         embeds_pad = leaf_pad
@@ -145,7 +152,7 @@ def generate_clip_guided(
                     nt = int(topk[i, j])
                     seq = toks + [nt]
                     if nt in special or d == depth - 1:
-                        candidates.append((seq, row, nt in special))
+                        candidates.append((seq, children, row, nt in special))
                         new_tokens.append(seq)
                         new_live.append(False)
                     else:
@@ -155,21 +162,25 @@ def generate_clip_guided(
             tokens_list, live, embeds_pad = new_tokens, new_live, children
             if not keep_rows:
                 break
-        return candidates, embeds_pad
+        return candidates
 
     while True:
         depth = min(look_ahead, max_decode_length - len(committed_tokens))
-        candidates, final_embeds = expand(
-            list(committed_tokens), committed_pad, max(depth, 1)
-        )
+        candidates = expand(list(committed_tokens), committed_pad, max(depth, 1))
 
         texts = [tokenizer.decode_tokens([t for t in c[0] if t not in special])
                  for c in candidates]
         text_feats = clip_scoring.embed_text(texts)
-        text_feats = text_feats / jnp.linalg.norm(text_feats, axis=-1, keepdims=True)
+        # eps guard mirrors torch cosine_similarity's built-in eps (the
+        # reference scores with it, evaluate_model.py:277-290): an
+        # all-special candidate yields a zero text feature, and a bare
+        # divide would poison the argmax with NaNs
+        text_feats = text_feats / jnp.maximum(
+            jnp.linalg.norm(text_feats, axis=-1, keepdims=True), 1e-8
+        )
         best = int(np.asarray(jax.device_get(jnp.argmax(text_feats @ img))))
-        best_tokens, best_row, stopped = candidates[best]
-        best_pad = final_embeds[best_row : best_row + 1]
+        best_tokens, best_children, best_row, stopped = candidates[best]
+        best_pad = best_children[best_row : best_row + 1]
 
         if step_by_step:
             committed_tokens = best_tokens[: len(committed_tokens) + 1]

@@ -80,9 +80,11 @@ class NoBeamCaptionSampler(CaptionSamplerBase):
         prompt = jnp.concatenate([prefix_rep, bundle.embed_text(bos)], axis=1)
 
         stop_id = tokenizer.encode_text(self.stop_token)[0]
-        # lm_decode identity keys the cache: enable_int8_decode() swaps the
-        # module mid-bundle and must invalidate the jitted closure
-        key = (id(bundle), id(bundle.lm_decode), stop_id,
+        # everything the jitted closure bakes in keys the cache:
+        # enable_int8_decode() swaps lm_decode, and the multi-chip enables
+        # install cache_constraint — both must invalidate the closure
+        key = (id(bundle), id(bundle.lm_decode),
+               id(getattr(bundle, "cache_constraint", None)), stop_id,
                tuple(tokenizer.all_special_ids))
         if self._gen_fn is None or self._gen_key != key:
             settings = GenerationSettings(

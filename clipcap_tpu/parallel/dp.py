@@ -25,9 +25,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
-# every framework cache type keeps its batched slabs in these fields with
-# batch at axis 1 of [L, B, ...] (gpt2/gptj/t5/blip KVCache + Int8KVCache)
-_BATCHED_CACHE_FIELDS = ("k", "v", "ks", "vs")
+# batch-carrying cache fields across every framework cache type -> the
+# axis their batch dimension lives on: the stacked [L, B, ...] slabs
+# (gpt2/gptj/t5/blip KVCache, the int8 caches' scale slabs, blip's
+# precomputed cross K/V) and t5/blip's [B, ...] encoder-side tensors.
+# NOTE decode/beam.py keeps its own narrower list on purpose: beam
+# reorder gathers only the SELF-attention slabs (cross/encoder tensors
+# are shared by all beams of one prompt and must not be gathered).
+_BATCH_AXIS_BY_FIELD = {
+    "k": 1, "v": 1, "ks": 1, "vs": 1,
+    "cross_k": 1, "cross_v": 1,
+    "enc_hidden": 0, "enc_bias": 0, "cross_bias": 0,
+}
 
 
 @dataclasses.dataclass
@@ -47,16 +56,24 @@ class DPDecodeShardings:
         return NamedSharding(self.mesh, P(DATA_AXIS))
 
     def constrain_cache(self, cache):
-        """In-jit constraint: batch axis (axis 1 of [L, B, ...]) over data."""
+        """In-jit constraint: every batch-carrying slab over `data`.
 
-        def shard(x):
-            spec = P(*([None, DATA_AXIS] + [None] * (x.ndim - 2)))
+        Note: BLIP's grouped cross K/V (decoder_lm repeat>1) carry
+        batch = rows/repeat — that image-batch must still divide the data
+        axis for the constraint to apply cleanly."""
+
+        def shard(x, batch_axis):
+            spec = P(*([None] * batch_axis + [DATA_AXIS]
+                       + [None] * (x.ndim - batch_axis - 1)))
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(self.mesh, spec)
             )
 
-        upd = {name: shard(getattr(cache, name))
-               for name in _BATCHED_CACHE_FIELDS if hasattr(cache, name)}
+        upd = {}
+        for name, axis in _BATCH_AXIS_BY_FIELD.items():
+            val = getattr(cache, name, None)
+            if val is not None and hasattr(val, "ndim") and val.ndim > axis:
+                upd[name] = shard(val, axis)
         return cache._replace(**upd)
 
 

@@ -5,7 +5,7 @@ more batch sizes, for the bf16 and int8 paths. Relay-safe: every timing
 fetches a scalar (CLAUDE.md: block_until_ready does not sync through the
 axon relay), and per-step time is amortized inside one jit via lax.scan.
 
-Usage: python tools/profile_decode.py [--batches 256,512] [--steps 32]
+Usage: python -m clipcap_tpu.tools.profile_decode [--batches 256,512] [--steps 32]
 """
 
 from __future__ import annotations
