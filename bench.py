@@ -289,10 +289,13 @@ def _bench_native_loader(rows: int = 8192, prefix_dim: int = 512,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _bench_train_step(batch: int = 128, seq: int = 40):
-    """Training-step throughput for BASELINE config #1 (ViT-B/32-prefix +
-    GPT-2 small prefix training over precomputed shards). Returns
-    (steps/sec, tokens/sec)."""
+def _bench_train_step(batch: int = 128, seq: int = 40,
+                      lm_variant: str = "gpt2", prefix_only: bool = False,
+                      prefix_len: int = 10, iters: int = 5):
+    """Training-step throughput. Defaults = BASELINE config #1
+    (ViT-B/32-prefix + GPT-2 small prefix training over precomputed
+    shards); config #2 = gpt2-xl prefix_only (the reference's headline
+    training run, train.py:236-245). Returns (steps/sec, tokens/sec)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -302,10 +305,11 @@ def _bench_train_step(batch: int = 128, seq: int = 40):
     )
     from clipcap_tpu.train import create_train_state, make_train_step
 
-    lm_cfg = GPT2Config.variant("gpt2")
+    lm_cfg = GPT2Config.variant(lm_variant)
     map_cfg = MapperConfig(dim_clip=512, dim_embedding=lm_cfg.n_embd,
-                           prefix_length=10, clip_length=10)
-    cap_cfg = CaptionerConfig(lm_type="gpt2", mapper=map_cfg)
+                           prefix_length=prefix_len, clip_length=10)
+    cap_cfg = CaptionerConfig(lm_type="gpt2", mapper=map_cfg,
+                              prefix_only=prefix_only)
     train_cfg = TrainConfig(
         optimizer_lr=2e-5, scheduler_warmup_steps=100, total_steps=10_000,
         gradient_clip_val=-1.0, bf16_compute=True,
@@ -324,7 +328,6 @@ def _bench_train_step(batch: int = 128, seq: int = 40):
 
     state, metrics = step_fn(state, batch_data)  # compile
     float(metrics["loss"])
-    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step_fn(state, batch_data)
@@ -363,6 +366,12 @@ def main():
     vit_ips = _bench_vit_preprocess()
     genb_ms = _bench_genb_synthesis()
     train_steps_s, train_tokens_s = _bench_train_step()
+    # config #2: the reference's headline training run — GPT2-XL,
+    # prefix-only (mapper trains, LM frozen via stop_gradient)
+    xl_steps_s, _ = _bench_train_step(
+        batch=64, lm_variant="gpt2-xl", prefix_only=True, prefix_len=40,
+        iters=3,
+    )
     loader_rows_s = _bench_native_loader()
 
     captions_per_sec = batch_int8 / p50_int8
@@ -390,6 +399,8 @@ def main():
                     "genb_blip_synthesis_ms_per_image_40cand": round(genb_ms, 1),
                     "train_step_config1_steps_per_sec": round(train_steps_s, 2),
                     "train_step_config1_tokens_per_sec": round(train_tokens_s, 1),
+                    "train_step_config2_xl_prefix_only_steps_per_sec":
+                        round(xl_steps_s, 2),
                     "single_caption_p50_latency_ms_int8": round(single_ms, 1),
                     "native_shard_loader_rows_per_sec": round(loader_rows_s, 1),
                 },

@@ -40,6 +40,19 @@ def create_train_state(
     if params is None:
         params = captioner.init(rng, cap_cfg, lm_cfg)
     mask = captioner.trainable_filter(params, cap_cfg)
+    if train_cfg.bf16_compute:
+        # f32 master copies exist for the optimizer's benefit; frozen
+        # subtrees (the LM in prefix-only mode, the visual encoder) never
+        # see an update, so they live in bf16 outright — the reference
+        # holds them in fp16 under AMP (train.py:280), and a frozen
+        # GPT2-XL costs 3.1 GB instead of 6.2 + 3.1 per step
+        params = jax.tree_util.tree_map(
+            lambda p, keep: p.astype(jnp.bfloat16)
+            if (not keep and hasattr(p, "dtype")
+                and jnp.issubdtype(p.dtype, jnp.floating))
+            else p,
+            params, mask,
+        )
     tx = make_optimizer(
         lr=train_cfg.optimizer_lr,
         warmup_steps=train_cfg.scheduler_warmup_steps,
@@ -87,7 +100,22 @@ def make_train_step(
             feats = jax.lax.stop_gradient(feats)
         return feats
 
+    trainable_mask = None  # built lazily from the first params tree
+
     def loss_fn(params, mb):
+        # freeze non-trainable subtrees at the SOURCE: prefix-only training
+        # must not spend the backward pass materializing LM weight grads
+        # (6.2 GB f32 for GPT2-XL), and AutoClip's percentile history must
+        # see the norm of the trainable (mapper) grads only — the reference
+        # clips over CLIPCaptionPrefixOnly.parameters(), which excludes the
+        # LM entirely (model.py:151-161, :219-226)
+        nonlocal trainable_mask
+        if trainable_mask is None:
+            trainable_mask = captioner.trainable_filter(params, cap_cfg)
+        params = jax.tree_util.tree_map(
+            lambda p, keep: p if keep else jax.lax.stop_gradient(p),
+            params, trainable_mask,
+        )
         if train_cfg.bf16_compute:
             # mixed precision, TPU style (reference AMP fp16, train.py:280):
             # master params stay f32; the forward sees bf16 casts (grads flow
