@@ -71,6 +71,42 @@ def build():
     out = generate(gpt2.gpt2_int8, params_q, lm_cfg, prefix,
                    GenerationSettings(max_new_tokens=NEW, greedy=True))
     fixtures["greedy_int8"] = np.asarray(out["tokens"]).tolist()
+
+    # GPT-J int8 weight-streaming path (rotary pre-quantization, int8 KV)
+    from clipcap_tpu.core.config import GPTJConfig
+    from clipcap_tpu.models import gptj
+
+    gptj_cfg = dict(vocab_size=50400, n_positions=256, n_embd=256, n_layer=4,
+                    n_head=8, rotary_dim=32)
+    fixtures["gptj_cfg"] = gptj_cfg
+    jp = gptj.init(jax.random.PRNGKey(3), GPTJConfig(**gptj_cfg))
+    jq = gptj.quantize_params(jp)
+    jprefix = jax.random.normal(jax.random.PRNGKey(4), (BATCH, 10, 256), jnp.float32)
+    out = generate(gptj.gptj_int8, jq, GPTJConfig(**gptj_cfg),
+                   jprefix.astype(jnp.bfloat16),
+                   GenerationSettings(max_new_tokens=NEW, greedy=True))
+    fixtures["gptj_greedy_int8"] = np.asarray(out["tokens"]).tolist()
+
+    # BLIP grouped cross-attention decode (decoder_lm repeat>1, the Gen-B
+    # layout): candidates of one image share its cross K/V
+    from clipcap_tpu.core.config import BlipTextConfig
+    from clipcap_tpu.models import blip_text
+
+    blip_cfg = dict(vocab_size=30522, hidden_size=128, num_layers=3,
+                    num_heads=4, intermediate_size=256,
+                    max_position_embeddings=128, encoder_width=96, embed_dim=64)
+    fixtures["blip_cfg"] = blip_cfg
+    bp = blip_text.init(jax.random.PRNGKey(5), BlipTextConfig(**blip_cfg))
+    img = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 96), jnp.float32)
+    lm = blip_text.decoder_lm(bp, BlipTextConfig(**blip_cfg), img, repeat=2)
+    prompt = jnp.asarray(np.tile(np.asarray([[101, 1037, 3861, 1997]]), (4, 1)))
+    out = generate(lm, bp, BlipTextConfig(**blip_cfg), prompt,
+                   GenerationSettings(max_new_tokens=16, top_p=0.8,
+                                      repetition_penalty=1.3, eos_token_id=102,
+                                      min_length=4, vocab_prefilter=512),
+                   rng=jax.random.PRNGKey(9), prompt_tokens=prompt)
+    fixtures["blip_grouped_sampled"] = np.asarray(out["tokens"]).tolist()
+    fixtures["blip_grouped_lengths"] = np.asarray(out["lengths"]).tolist()
     return fixtures
 
 

@@ -78,3 +78,38 @@ def test_int8_greedy_tokens_frozen(world):
     out = generate(gpt2.gpt2_int8, params_q, lm_cfg, prefix,
                    GenerationSettings(max_new_tokens=fx["new_tokens"], greedy=True))
     assert np.asarray(out["tokens"]).tolist() == fx["greedy_int8"]
+
+
+def test_gptj_int8_tokens_frozen(world):
+    fx = world[0]
+    from clipcap_tpu.core.config import GPTJConfig
+    from clipcap_tpu.models import gptj
+
+    cfg = GPTJConfig(**fx["gptj_cfg"])
+    jp = gptj.init(jax.random.PRNGKey(3), cfg)
+    jq = gptj.quantize_params(jp)
+    jprefix = jax.random.normal(jax.random.PRNGKey(4), (fx["batch"], 10, cfg.n_embd),
+                                jnp.float32)
+    out = generate(gptj.gptj_int8, jq, cfg, jprefix.astype(jnp.bfloat16),
+                   GenerationSettings(max_new_tokens=fx["new_tokens"], greedy=True))
+    assert np.asarray(out["tokens"]).tolist() == fx["gptj_greedy_int8"]
+
+
+def test_blip_grouped_tokens_frozen(world):
+    fx = world[0]
+    from clipcap_tpu.core.config import BlipTextConfig
+    from clipcap_tpu.models import blip_text
+
+    cfg = BlipTextConfig(**fx["blip_cfg"])
+    bp = blip_text.init(jax.random.PRNGKey(5), cfg)
+    img = jax.random.normal(jax.random.PRNGKey(6), (2, 8, cfg.encoder_width),
+                            jnp.float32)
+    lm = blip_text.decoder_lm(bp, cfg, img, repeat=2)
+    prompt = jnp.asarray(np.tile(np.asarray([[101, 1037, 3861, 1997]]), (4, 1)))
+    out = generate(lm, bp, cfg, prompt,
+                   GenerationSettings(max_new_tokens=16, top_p=0.8,
+                                      repetition_penalty=1.3, eos_token_id=102,
+                                      min_length=4, vocab_prefilter=512),
+                   rng=jax.random.PRNGKey(9), prompt_tokens=prompt)
+    assert np.asarray(out["tokens"]).tolist() == fx["blip_grouped_sampled"]
+    assert np.asarray(out["lengths"]).tolist() == fx["blip_grouped_lengths"]
