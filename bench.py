@@ -229,6 +229,84 @@ def _bench_genb_synthesis(sample_count: int = 40, iters: int = 3) -> float:
     return min(ts) * 1000.0
 
 
+def _bench_gptj_6b_int8(batch: int = 64) -> float:
+    """BASELINE config #4's model on ONE chip: GPT-J 6B greedy decode,
+    int8 weights + int8 KV. 6B bf16 is 12.1 GB of weights streamed per
+    token — int8 (6.05 GB) plus the quantized cache is what makes
+    single-chip 6B decode throughput-viable at all. Weight VALUES are
+    fabricated directly in quantized form (random int8, unit scales):
+    a throughput measurement needs the real shapes and dtypes, not real
+    checkpoints (none are downloadable here — see PARITY.md).
+    Returns captions/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from clipcap_tpu.core.config import GPTJConfig
+    from clipcap_tpu.models import gptj
+
+    cfg = GPTJConfig.variant("gpt-j-6B")
+    d, l, v = cfg.n_embd, cfg.n_layer, cfg.vocab_size
+
+    def qw(key, shape):
+        # scales match quantize_weight's layout: all dims but the
+        # contraction axis ([L, in, out] -> [L, out])
+        return {
+            "q": jax.random.randint(key, shape, -127, 128, jnp.int8),
+            "s": jnp.full(shape[:-2] + shape[-1:], 1e-3, jnp.float32),
+        }
+
+    @jax.jit
+    def fabricate(key):
+        ks = jax.random.split(key, 8)
+        return {
+            "wte": (jax.random.normal(ks[0], (v, d), jnp.bfloat16) * 0.02),
+            "ln_f": {"g": jnp.ones((d,), jnp.bfloat16), "b": jnp.zeros((d,), jnp.bfloat16)},
+            "blocks": {
+                "ln1": {"g": jnp.ones((l, d), jnp.bfloat16), "b": jnp.zeros((l, d), jnp.bfloat16)},
+                "attn": {k: qw(ks[i + 1], (l, d, d))
+                         for i, k in enumerate(("wq", "wk", "wv", "wo"))},
+                "mlp": {
+                    "w_in": qw(ks[5], (l, d, 4 * d)),
+                    "b_in": jnp.zeros((l, 4 * d), jnp.bfloat16),
+                    "w_out": qw(ks[6], (l, 4 * d, d)),
+                    "b_out": jnp.zeros((l, d), jnp.bfloat16),
+                },
+            },
+            "lm_head": {"w": qw(ks[7], (d, v)), "b": jnp.zeros((v,), jnp.bfloat16)},
+        }
+
+    params = fabricate(jax.random.PRNGKey(0))
+    total_len = PREFIX_LEN + NEW_TOKENS
+    prefix = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, PREFIX_LEN, d), jnp.bfloat16
+    )
+
+    @jax.jit
+    def decode_checksum(params, prefix):
+        cache = gptj.init_cache_q8(cfg, batch=batch, max_len=total_len)
+        logits, cache = gptj.prefill_q8(params, cfg, prefix, cache)
+        tok = jnp.argmax(logits[:, -1], axis=-1)
+
+        def body(carry, _):
+            tok, cache = carry
+            emb = gptj.embed_tokens(params, tok)[:, None, :].astype(jnp.bfloat16)
+            lg, cache = gptj.decode_step_q8(params, cfg, emb, cache)
+            nxt = jnp.argmax(lg, axis=-1)
+            return (nxt, cache), nxt
+
+        (_, _), toks = jax.lax.scan(body, (tok, cache), None, length=NEW_TOKENS - 1)
+        return jnp.sum(toks)
+
+    float(decode_checksum(params, prefix))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(decode_checksum(params, prefix))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return batch / times[len(times) // 2]
+
+
 def _bench_single_caption_latency(cfg, params) -> float:
     """Serving latency: ONE caption (batch 1, int8 path) end to end —
     prefill + 32 greedy steps. BASELINE.md asks for p50 latency alongside
@@ -372,6 +450,7 @@ def main():
         batch=64, lm_variant="gpt2-xl", prefix_only=True, prefix_len=40,
         iters=3,
     )
+    gptj6b_cps = _bench_gptj_6b_int8(batch=128)
     loader_rows_s = _bench_native_loader()
 
     captions_per_sec = batch_int8 / p50_int8
@@ -402,6 +481,7 @@ def main():
                     "train_step_config2_xl_prefix_only_steps_per_sec":
                         round(xl_steps_s, 2),
                     "single_caption_p50_latency_ms_int8": round(single_ms, 1),
+                    "gptj_6b_int8_captions_per_sec_b128": round(gptj6b_cps, 1),
                     "native_shard_loader_rows_per_sec": round(loader_rows_s, 1),
                 },
             }
