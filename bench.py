@@ -1,18 +1,22 @@
 """Headline benchmark: GPT2-XL caption decode throughput on one TPU chip.
 
 Measures the BASELINE.md target "GPT2-XL decode >= 50 captions/sec/chip"
-four ways (all replacing the reference's full-recompute loops,
-inference.py:97/:249):
+(all decode paths replace the reference's full-recompute loops,
+inference.py:97/:249), plus the rest of the framework's hot surfaces:
 
-- raw greedy decode, bf16 weights + bf16 KV cache;
-- raw greedy decode, int8 weights + int8 KV cache (the weight-streaming
-  path, models/gpt2.py quantize_params) — the headline number;
+- raw greedy decode: bf16 (batch 256) and int8 weights + int8 KV at
+  batch 512 (models/gpt2.py quantize_params) — the headline number;
 - the full decode/engine.generate path with reference-default sampling
   (repetition penalty 1.2, the generate_no_beam top_p sweep 0.1..0.9 as a
-  per-row vector, vocab prefilter on; reference inference.py:219-292),
-  end-to-end from mapper output;
-- plus a ViT-B/32 encode headline (>= 10k images/sec target) and a
-  training-step metric (config #1: prefix-training GPT-2 small).
+  per-row vector, sort-free threshold filters; reference
+  inference.py:219-292), end-to-end from mapper output;
+- single-caption serving latency (batch 1, int8);
+- GPT-J 6B int8 decode on one chip (BASELINE config #4's model);
+- ViT-B/32 encode (>= 10k images/sec target);
+- Gen-B 40-candidate BLIP synthesis ms/image;
+- training steps/sec for config #1 (GPT-2 small prefix training) and
+  config #2 (GPT2-XL prefix-only, the reference's headline run);
+- the C++ shard loader's feed rate.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
@@ -437,23 +441,38 @@ def main():
         jax.random.PRNGKey(1), (batch_int8, PREFIX_LEN, cfg.n_embd), jnp.bfloat16
     )
 
-    p50_bf16 = _bench_decode_raw(cfg, params, prefix, int8=False)
-    p50_int8 = _bench_decode_raw(cfg, params, prefix_512, int8=True, batch=batch_int8)
-    p50_engine = _bench_engine_default(cfg, params)
-    single_ms = _bench_single_caption_latency(cfg, params)
-    vit_ips = _bench_vit_preprocess()
-    genb_ms = _bench_genb_synthesis()
-    train_steps_s, train_tokens_s = _bench_train_step()
+    def safe(fn, *a, default=None, **kw):
+        """One failed phase must not cost the driver the whole JSON line."""
+        import sys
+        import traceback
+
+        try:
+            return fn(*a, **kw)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            return default
+
+    def rnd(x, n=1):
+        return None if x is None else round(x, n)
+
+    p50_bf16 = safe(_bench_decode_raw, cfg, params, prefix, int8=False)
+    p50_int8 = safe(_bench_decode_raw, cfg, params, prefix_512, int8=True,
+                    batch=batch_int8)
+    p50_engine = safe(_bench_engine_default, cfg, params)
+    single_ms = safe(_bench_single_caption_latency, cfg, params)
+    vit_ips = safe(_bench_vit_preprocess)
+    genb_ms = safe(_bench_genb_synthesis)
+    train_steps_s, train_tokens_s = safe(_bench_train_step, default=(None, None))
     # config #2: the reference's headline training run — GPT2-XL,
     # prefix-only (mapper trains, LM frozen via stop_gradient)
-    xl_steps_s, _ = _bench_train_step(
-        batch=64, lm_variant="gpt2-xl", prefix_only=True, prefix_len=40,
-        iters=3,
+    xl_steps_s, _ = safe(
+        _bench_train_step, batch=64, lm_variant="gpt2-xl", prefix_only=True,
+        prefix_len=40, iters=3, default=(None, None),
     )
-    gptj6b_cps = _bench_gptj_6b_int8(batch=128)
-    loader_rows_s = _bench_native_loader()
+    gptj6b_cps = safe(_bench_gptj_6b_int8, batch=128)
+    loader_rows_s = safe(_bench_native_loader)
 
-    captions_per_sec = batch_int8 / p50_int8
+    captions_per_sec = batch_int8 / p50_int8 if p50_int8 else 0.0
 
     print(
         json.dumps(
@@ -467,22 +486,22 @@ def main():
                     "prefix_len": PREFIX_LEN,
                     "new_tokens": NEW_TOKENS,
                     "dtype": "int8 weights + int8 kv (headline)",
-                    "p50_batch_latency_ms_int8": round(p50_int8 * 1000, 1),
-                    "raw_greedy_bf16_captions_per_sec": round(BATCH / p50_bf16, 1),
+                    "p50_batch_latency_ms_int8": rnd(p50_int8 and p50_int8 * 1000),
+                    "raw_greedy_bf16_captions_per_sec": rnd(p50_bf16 and BATCH / p50_bf16),
                     "bf16_batch": BATCH,
-                    "p50_batch_latency_ms_bf16": round(p50_bf16 * 1000, 1),
-                    "engine_default_captions_per_sec": round(BATCH / p50_engine, 1),
+                    "p50_batch_latency_ms_bf16": rnd(p50_bf16 and p50_bf16 * 1000),
+                    "engine_default_captions_per_sec": rnd(p50_engine and BATCH / p50_engine),
                     "engine_default_settings": "rep_penalty=1.2 top_p=sweep(0.1..0.9) stop='.' filter=threshold, mapper included",
-                    "vit_b32_preprocess_images_per_sec": round(vit_ips, 1),
-                    "vit_b32_vs_10k_target": round(vit_ips / 10000.0, 3),
-                    "genb_blip_synthesis_ms_per_image_40cand": round(genb_ms, 1),
-                    "train_step_config1_steps_per_sec": round(train_steps_s, 2),
-                    "train_step_config1_tokens_per_sec": round(train_tokens_s, 1),
+                    "vit_b32_preprocess_images_per_sec": rnd(vit_ips),
+                    "vit_b32_vs_10k_target": rnd(vit_ips and vit_ips / 10000.0, 3),
+                    "genb_blip_synthesis_ms_per_image_40cand": rnd(genb_ms),
+                    "train_step_config1_steps_per_sec": rnd(train_steps_s, 2),
+                    "train_step_config1_tokens_per_sec": rnd(train_tokens_s),
                     "train_step_config2_xl_prefix_only_steps_per_sec":
-                        round(xl_steps_s, 2),
-                    "single_caption_p50_latency_ms_int8": round(single_ms, 1),
-                    "gptj_6b_int8_captions_per_sec_b128": round(gptj6b_cps, 1),
-                    "native_shard_loader_rows_per_sec": round(loader_rows_s, 1),
+                        rnd(xl_steps_s, 2),
+                    "single_caption_p50_latency_ms_int8": rnd(single_ms),
+                    "gptj_6b_int8_captions_per_sec_b128": rnd(gptj6b_cps),
+                    "native_shard_loader_rows_per_sec": rnd(loader_rows_s),
                 },
             }
         )
