@@ -25,6 +25,7 @@ def demo_generate_captions(
     number_to_generate: int = 1,
     text_prefix: Optional[str] = None,
     use_beam_search: bool = False,
+    draft_bundle=None,
     **generation_kwargs,
 ) -> Tuple[List[str], jnp.ndarray]:
     """reference inference.py:295-331: preprocess -> encode -> project ->
@@ -45,7 +46,30 @@ def demo_generate_captions(
         toks = jnp.asarray([bundle.tokenizer.encode_text(text_prefix)])
         prompt = jnp.concatenate([prefix_embed, bundle.embed_text(toks)], axis=1)
 
-    if use_beam_search:
+    if draft_bundle is not None and not use_beam_search:
+        # speculative greedy (decode/speculative.py): the draft bundle's
+        # own mapper produces the draft-space prompt for the same image
+        from ..decode.engine import trim_and_decode
+        from ..decode.speculative import speculative_greedy
+
+        d_feats = (draft_bundle.encode_image(pixels)
+                   if "visual" in draft_bundle.params else visual_feats)
+        d_prompt = draft_bundle.project_prefix(d_feats)
+        if text_prefix is not None:
+            d_toks = jnp.asarray([draft_bundle.tokenizer.encode_text(text_prefix)])
+            d_prompt = jnp.concatenate(
+                [d_prompt, draft_bundle.embed_text(d_toks)], axis=1)
+        out = speculative_greedy(
+            bundle.lm_decode, bundle.lm_decode_params, bundle.lm_cfg,
+            draft_bundle.lm_decode, draft_bundle.lm_decode_params,
+            draft_bundle.lm_cfg,
+            prompt, d_prompt,
+            max_new_tokens=generation_kwargs.get("entry_length", 67),
+            gamma=generation_kwargs.get("gamma", 4),
+            eos_token_id=bundle.tokenizer.encode_text(".")[0],
+        )
+        captions = trim_and_decode(out, bundle.tokenizer, strip_special=True)
+    elif use_beam_search:
         out = beam_search(bundle.lm_decode, bundle.lm_decode_params, bundle.lm_cfg, prompt,
                           beam_size=generation_kwargs.get("beam_size", 5),
                           max_new_tokens=generation_kwargs.get("entry_length", 67),
@@ -75,6 +99,8 @@ def folder_demo(
     number_to_generate: int = 1,
     text_prefix: Optional[str] = None,
     use_beam_search: bool = True,
+    draft_bundle=None,
+    **generation_kwargs,
 ) -> dict:
     from PIL import Image
 
@@ -93,7 +119,8 @@ def folder_demo(
         captions, image_features = demo_generate_captions(
             bundle, clip_scoring, image,
             number_to_generate=number_to_generate, text_prefix=text_prefix,
-            use_beam_search=use_beam_search,
+            use_beam_search=use_beam_search, draft_bundle=draft_bundle,
+            **generation_kwargs,
         )
         print(image_file)
         print(captions)
@@ -138,6 +165,11 @@ def main(argv=None):
     p.add_argument("--tensor_parallel", type=int, default=1,
                    help="model-axis size for tensor-parallel GPT-J decode "
                         "(heads + KV cache sharded over this many chips)")
+    p.add_argument("--speculative_draft_checkpoint", default=None,
+                   help="checkpoint of a small captioner (its own mapper + "
+                        "LM, same tokenizer) used as the speculative-decode "
+                        "draft; implies no-beam greedy decoding")
+    p.add_argument("--speculative_gamma", type=int, default=4)
     p.add_argument("--int8_decode", action="store_true",
                    help="int8 weight-streaming decode (gpt2/gptj): halves "
                         "the per-token HBM stream; tokens can differ from "
@@ -154,6 +186,12 @@ def main(argv=None):
     if args.int8_decode:
         bundle.enable_int8_decode()
         print("int8 weight-streaming decode enabled")
+    draft_bundle = None
+    if args.speculative_draft_checkpoint:
+        draft_bundle = load_captioner_bundle(
+            args.speculative_draft_checkpoint, args.tokenizer_vocab_dir)
+        print("speculative decoding with draft checkpoint "
+              f"{args.speculative_draft_checkpoint} (gamma={args.speculative_gamma})")
     ranker = load_clip_ranker(args.clip_model, args.clip_checkpoint, args.clip_merges)
     scoring = ClipScoring(ranker.vit_params, ranker.vit_cfg, ranker.text_params,
                           ranker.text_cfg, ranker.tokenizer)
@@ -162,7 +200,9 @@ def main(argv=None):
                 total_samples=args.total_samples,
                 number_to_generate=args.number_to_generate,
                 text_prefix=args.text_prefix,
-                use_beam_search=not args.no_beam)
+                use_beam_search=not args.no_beam and draft_bundle is None,
+                draft_bundle=draft_bundle,
+                gamma=args.speculative_gamma)
 
 
 if __name__ == "__main__":

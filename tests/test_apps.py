@@ -222,3 +222,24 @@ def test_evaluate_cli_core(world, coco_val):
     assert len(data) == 1
     entry = next(iter(data.values()))
     assert "generated_captions" in entry and "scores" in entry
+
+    # speculative decoding: a smaller draft captioner (own mapper + LM,
+    # same tokenizer) must produce the target's greedy captions exactly
+    d_lm_cfg = GPT2Config(vocab_size=len(vocab), n_positions=96, n_embd=12,
+                          n_layer=1, n_head=2)
+    d_map_cfg = MapperConfig(dim_clip=24, dim_embedding=12, prefix_length=2,
+                             clip_length=5, num_layers=1, num_heads=2,
+                             use_all_features=True)
+    d_cap_cfg = CaptionerConfig(lm_type="gpt2", mapper=d_map_cfg)
+    d_params = captioner.init(jax.random.PRNGKey(7), d_cap_cfg, d_lm_cfg)
+    draft = CaptionerBundle(params=d_params, cap_cfg=d_cap_cfg,
+                            lm_cfg=d_lm_cfg, tokenizer=gpt_tok)
+    os.chdir(str(coco_val))
+    try:
+        spec = folder_demo(bundle, scoring, str(coco_val / "images"),
+                           total_samples=1, use_beam_search=False,
+                           draft_bundle=draft, gamma=2)
+    finally:
+        os.chdir(cwd)
+    entry = next(iter(spec.values()))
+    assert "generated_captions" in entry and len(entry["generated_captions"]) >= 1
