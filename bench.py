@@ -472,15 +472,17 @@ def main():
     gptj6b_cps = safe(_bench_gptj_6b_int8, batch=128)
     loader_rows_s = safe(_bench_native_loader)
 
-    captions_per_sec = batch_int8 / p50_int8 if p50_int8 else 0.0
+    # null (not 0.0) when the headline phase failed: a trend reader must
+    # not confuse "failed to measure" with "zero throughput"
+    captions_per_sec = batch_int8 / p50_int8 if p50_int8 else None
 
     print(
         json.dumps(
             {
                 "metric": "gpt2-xl_greedy_decode_throughput",
-                "value": round(captions_per_sec, 2),
+                "value": rnd(captions_per_sec, 2),
                 "unit": "captions/sec/chip",
-                "vs_baseline": round(captions_per_sec / BASELINE_CAPTIONS_PER_SEC, 3),
+                "vs_baseline": rnd(captions_per_sec and captions_per_sec / BASELINE_CAPTIONS_PER_SEC, 3),
                 "detail": {
                     "batch": batch_int8,
                     "prefix_len": PREFIX_LEN,

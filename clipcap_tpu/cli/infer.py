@@ -52,8 +52,23 @@ def demo_generate_captions(
         from ..decode.engine import trim_and_decode
         from ..decode.speculative import speculative_greedy
 
-        d_feats = (draft_bundle.encode_image(pixels)
-                   if "visual" in draft_bundle.params else visual_feats)
+        if "visual" in draft_bundle.params:
+            d_feats = draft_bundle.encode_image(pixels)
+        else:
+            # precomputed-prefix draft: reuse the target's visual features,
+            # which is only meaningful when the draft mapper was trained on
+            # the SAME encoder's feature space — fail loudly on a width
+            # mismatch instead of crashing inside the mapper
+            d_dim = draft_bundle.cap_cfg.mapper.dim_clip
+            if visual_feats.shape[-1] != d_dim:
+                raise ValueError(
+                    f"draft bundle has no visual encoder and its mapper "
+                    f"expects dim_clip={d_dim}, but the target's visual "
+                    f"features are {visual_feats.shape[-1]}-wide — the "
+                    f"draft needs its own encoder or a mapper trained on "
+                    f"the target's feature space"
+                )
+            d_feats = visual_feats
         d_prompt = draft_bundle.project_prefix(d_feats)
         if text_prefix is not None:
             d_toks = jnp.asarray([draft_bundle.tokenizer.encode_text(text_prefix)])
@@ -67,6 +82,7 @@ def demo_generate_captions(
             max_new_tokens=generation_kwargs.get("entry_length", 67),
             gamma=generation_kwargs.get("gamma", 4),
             eos_token_id=bundle.tokenizer.encode_text(".")[0],
+            target_cache_constraint=getattr(bundle, "cache_constraint", None),
         )
         captions = trim_and_decode(out, bundle.tokenizer, strip_special=True)
     elif use_beam_search:
@@ -188,6 +204,14 @@ def main(argv=None):
         print("int8 weight-streaming decode enabled")
     draft_bundle = None
     if args.speculative_draft_checkpoint:
+        if args.int8_decode:
+            # the int8 modules have no multi-token cached forward, so the
+            # verification chunk falls back to per-token weight streaming:
+            # at best one target forward per emitted token + all draft
+            # work — strictly worse than plain int8 greedy
+            print("warning: --int8_decode makes speculative verification "
+                  "fall back to per-token forwards; expect no speedup over "
+                  "plain int8 greedy")
         draft_bundle = load_captioner_bundle(
             args.speculative_draft_checkpoint, args.tokenizer_vocab_dir)
         print("speculative decoding with draft checkpoint "

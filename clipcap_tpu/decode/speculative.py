@@ -8,9 +8,15 @@ instead of one target forward per token, the draft model decodes
 them; the longest prefix where the target's own argmax agrees is
 accepted, plus the target's token at the first disagreement (or the
 bonus continuation when everything agreed). For GREEDY decoding the
-output is bit-identical to plain target-only greedy decode for ANY
-draft — the draft only controls speed (tests/test_speculative.py pins
-this with a deliberately unrelated draft).
+output matches plain target-only greedy decode for ANY draft — the
+draft only controls speed (tests/test_speculative.py pins exact
+equality with a deliberately unrelated draft). One caveat on
+"identical": verification scores the chunk through the models'
+multi-token attention path while plain greedy uses the squeezed
+single-token path — different FP reduction orders — so in low precision
+a position whose top-2 logits are within kernel rounding noise can
+resolve differently. Exact in the f32 test regime; near-ties are
+measure-zero but not impossible with real bf16 checkpoints.
 
 Design notes (single chip, lm/registry protocol):
 - the whole loop is ONE jitted lax.while_loop: each iteration runs
@@ -53,12 +59,15 @@ def speculative_greedy(
     max_new_tokens: int = 32,
     gamma: int = 4,
     eos_token_id: Optional[int] = None,
+    target_cache_constraint=None,  # cache -> cache (multi-chip hook,
+    # e.g. parallel/tp.py constrain_cache — see engine.generate)
 ) -> dict:
     """Returns {"tokens" [1, N] int32, "lengths" [1], "chunks" [1]}.
 
-    tokens match target-only greedy decode exactly (pad 0 after a stop);
-    `chunks` counts target forwards used — plain greedy uses `lengths`
-    of them, so lengths/chunks is the realized target-model speedup.
+    tokens match target-only greedy decode (pad 0 after a stop; see the
+    module docstring for the low-precision near-tie caveat); `chunks`
+    counts target forwards used — plain greedy uses `lengths` of them,
+    so lengths/chunks is the realized target-model speedup.
     """
     if target_prompt.shape[0] != 1:
         raise ValueError("speculative decoding is batch-1 (latency path)")
@@ -70,6 +79,8 @@ def speculative_greedy(
         target_cfg, batch=1, max_len=target_prompt.shape[1] + buf,
         dtype=target_prompt.dtype,
     )
+    if target_cache_constraint is not None:
+        t_cache = target_cache_constraint(t_cache)
     d_cache = draft_lm.init_cache(
         draft_cfg, batch=1, max_len=draft_prompt.shape[1] + buf,
         dtype=draft_prompt.dtype,
@@ -172,7 +183,11 @@ def _chunk_forward(lm, params, cfg, chunk_emb, cache):
     The registry prefill() requires a fresh cache; the models' shared
     _forward_cached handles t>1 continuation (gpt2/gptj), so drive it
     directly when exposed. Falls back to a per-token decode_step scan
-    for adapters without the hook (same tokens, g separate forwards)."""
+    for adapters without the hook (same tokens, g+1 separate forwards) —
+    NOTE for weight-streaming targets (the int8 modules) that fallback
+    re-streams the full weights per chunk position, so speculative
+    decode cannot beat plain greedy there; pair a bf16 target with a
+    small draft instead."""
     fwd = getattr(lm, "_forward_cached", None)
     if fwd is not None:
         return fwd(params, cfg, chunk_emb, cache)
