@@ -11,6 +11,18 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_after_module():
+    """The while_loop-over-two-KV-caches executables this module compiles
+    trigger a latent jaxlib CPU-backend bug: with them resident, a LATER
+    unrelated pjit compile (test_tp_decode in full-suite order) segfaults
+    inside backend_compile_and_load. Clearing the compilation caches after
+    the module keeps the full suite green; the bug does not reproduce with
+    these tests run in isolation or in small groups."""
+    yield
+    jax.clear_caches()
+
 from clipcap_tpu.core.config import GPT2Config, GPTJConfig
 from clipcap_tpu.decode import GenerationSettings, generate
 from clipcap_tpu.decode.speculative import speculative_greedy
