@@ -28,21 +28,48 @@ from ..models import blip_text
 from .engine import GenerationSettings, generate
 
 
-def _settings_cache_key(settings: GenerationSettings):
-    """Hashable key for the jit cache: every settings field, with arrays
-    flattened to value tuples."""
+# the per-row hyperparameter VECTORS ride into the jitted closure as
+# TRACED arguments, not baked constants: hyperparameter sweeps
+# (cli/sweep.py's TPE loop) change them every trial, and a baked copy
+# would recompile the whole synthesis graph (~seconds through the relay)
+# per trial. min/max length are always traced (pure runtime
+# comparisons); a FILTER vector (top_p/top_k/typ_p) is traced only when
+# some row is nonzero — an all-zero filter stays a baked constant so the
+# engine's static gating still compiles the filter OUT entirely (the
+# threshold filters no-op on zero rows, so tracing nonzero vectors is
+# semantics-preserving). Scalar penalties / force-eos / max_new_tokens
+# steer Python-level branching and stay static: sweeping THOSE still
+# recompiles (few distinct values in practice).
+_ALWAYS_TRACED = ("min_length", "max_length")
+_FILTER_FIELDS = ("top_p", "top_k", "typ_p")
 
-    def leaf(x):
+
+def _traced_fields(settings: GenerationSettings):
+    out = set(_ALWAYS_TRACED)
+    for name in _FILTER_FIELDS:
+        v = getattr(settings, name)
+        if isinstance(v, (jnp.ndarray, np.ndarray)) and (np.asarray(v) != 0).any():
+            out.add(name)
+    return out
+
+
+def _settings_cache_key(settings: GenerationSettings, traced):
+    """Hashable key over the STATIC settings fields (traced vector fields
+    contribute only their shape/dtype, not their values)."""
+
+    def leaf(name, x):
         if isinstance(x, (jnp.ndarray, np.ndarray)):
             # sample() builds per-row vectors as host numpy precisely so
             # this hashing never touches the device (np.asarray on a
             # device array costs a ~30 ms relay round-trip EACH)
+            if name in traced:
+                return ("traced", x.shape, str(x.dtype))
             return ("arr", x.shape, str(x.dtype), tuple(np.asarray(x).ravel().tolist()))
         return x
 
     import dataclasses as _dc
 
-    return tuple((f.name, leaf(getattr(settings, f.name)))
+    return tuple((f.name, leaf(f.name, getattr(settings, f.name)))
                  for f in _dc.fields(settings))
 
 
@@ -51,17 +78,32 @@ _SAMPLE_CACHE: dict = {}
 
 def _compiled_sample(text_cfg: BlipTextConfig, settings: GenerationSettings, key,
                      sample_count: int):
+    import dataclasses as _dc
+
     cache_key = (text_cfg, key, sample_count)
     fn = _SAMPLE_CACHE.get(cache_key)
     if fn is None:
 
+        traced_names = sorted(n for n, marker in key
+                              if isinstance(marker, tuple) and marker
+                              and marker[0] == "traced")
+
         @jax.jit
-        def fn(text_params, img, img_mask, prompt_arr, rng):
+        def fn(text_params, img, img_mask, prompt_arr, rng, hpacked):
             # img is UNREPEATED [B_img, Tv, D]; the decoder shares each
             # image's cross K/V across its sample_count candidate rows
             lm = blip_text.decoder_lm(text_params, text_cfg, img, img_mask,
                                       repeat=sample_count)
-            return generate(lm, text_params, text_cfg, prompt_arr, settings,
+            # hpacked [n_traced, total] f32: ONE host->device transfer per
+            # call (five separate puts each cost a relay round-trip)
+            hparams = {}
+            for i, name in enumerate(traced_names):
+                row = hpacked[i]
+                if name in ("min_length", "max_length"):
+                    row = row.astype(jnp.int32)
+                hparams[name] = row
+            live = _dc.replace(settings, **hparams)
+            return generate(lm, text_params, text_cfg, prompt_arr, live,
                             rng=rng, prompt_tokens=prompt_arr)
 
         if len(_SAMPLE_CACHE) > 32:  # bound the executable cache
@@ -144,16 +186,20 @@ def sample(
 
     # Compile-cache the whole synthesis computation. Calling the engine
     # eagerly costs seconds per image over the TPU relay (per-op dispatch);
-    # hyperparameters repeat across images within a sweep trial / caption
-    # run, so the jitted closure (settings baked as constants, which also
-    # keeps the static filter gating) compiles once and is reused.
-    run_fn = _compiled_sample(text_cfg, settings, _settings_cache_key(settings),
+    # the per-row hyperparameter vectors enter as traced arguments so a
+    # sweep over them reuses ONE compiled executable across trials.
+    traced = _traced_fields(settings)
+    run_fn = _compiled_sample(text_cfg, settings,
+                              _settings_cache_key(settings, traced),
                               sample_count)
+    hparams = jnp.asarray(np.stack(
+        [np.asarray(getattr(settings, name), np.float32) for name in sorted(traced)]
+    ))
 
     captions, parameters, stats = [], [], []
     for run in range(num_runs):
         rng, run_rng = jax.random.split(rng)
-        out = run_fn(text_params, img, img_mask, prompt_arr, run_rng)
+        out = run_fn(text_params, img, img_mask, prompt_arr, run_rng, hparams)
         # ONE bundled transfer: each separate device_get costs a full
         # relay round-trip (~30 ms); the settings vectors are already host
         # numpy (per_sample above)

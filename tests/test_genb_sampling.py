@@ -157,3 +157,32 @@ def test_int8_blip_decoder_tracks_f32():
     corr = np.corrcoef(np.asarray(ref, np.float32).ravel(),
                        np.asarray(out8, np.float32).ravel())[0, 1]
     assert corr > 0.995, corr
+
+
+def test_sweep_trials_reuse_one_executable(wp_tokenizer):
+    """Hyperparameter vectors are traced arguments: two sample() calls
+    with different top_p/top_k/min/max values (a TPE sweep's trials) must
+    hit ONE cached jitted closure — recompiling per trial costs seconds
+    through the TPU relay — and still produce per-trial results."""
+    from clipcap_tpu.decode.hetero import _SAMPLE_CACHE
+
+    params = blip_text.init(jax.random.PRNGKey(0), TEXT_CFG)
+    image_embeds = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 24))
+    _SAMPLE_CACHE.clear()
+
+    caps1, params1, _ = hetero.sample(
+        image_embeds, params, TEXT_CFG, wp_tokenizer, sample_count=4,
+        top_p=np.array([0.3, 0.5, 0.7, 0.9]), top_k=6.0,
+        min_len=np.array([1, 2, 2, 3]), max_len=np.array([6, 6, 6, 6]),
+        rng=jax.random.PRNGKey(0),
+    )
+    n_compiled = len(_SAMPLE_CACHE)
+    caps2, params2, _ = hetero.sample(
+        image_embeds, params, TEXT_CFG, wp_tokenizer, sample_count=4,
+        top_p=np.array([0.1, 0.2, 0.4, 0.6]), top_k=3.0,
+        min_len=np.array([2, 3, 3, 4]), max_len=np.array([6, 6, 6, 6]),
+        rng=jax.random.PRNGKey(0),
+    )
+    assert len(_SAMPLE_CACHE) == n_compiled  # second trial reused the closure
+    assert params1 != params2  # per-trial metadata reflects each trial's values
+    assert caps1 and caps2
