@@ -81,9 +81,18 @@ def _bench_decode_raw(cfg, params, prefix, int8: bool, batch: int = BATCH):
     return times[len(times) // 2]
 
 
-def _bench_engine_default(cfg, params):
-    """decode/engine.generate with reference-default sampling, from mapper
-    output (the path a user of evaluate/caption CLIs actually runs)."""
+def _bench_engine_default(cfg, params, batch: int = 2 * BATCH):
+    """decode/engine.generate with reference-default sampling, at the
+    headline batch 512 — the fused Pallas filter+sampler
+    (ops/pallas/fused_sampler.py) removed the per-step [B, V] filter
+    passes that used to make B=512 scale super-linearly.
+
+    Returns (engine_seconds, pipeline_seconds):
+    - engine_seconds: prefix -> sampled captions (apples-to-apples with
+      the raw greedy headline, which also starts from a prefix);
+    - pipeline_seconds: CLIP embedding -> mapper -> captions, the full
+      user path of cli/evaluate + cli/caption_me (adds the mapper's
+      ~12.6 TFLOP at these shapes, ~0.1 s bf16)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -99,22 +108,33 @@ def _bench_engine_default(cfg, params):
     map_params = jax.jit(lambda k: mapper.init(k, map_cfg, dtype=jnp.bfloat16))(
         jax.random.PRNGKey(2)
     )
-    clip_embed = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 512), jnp.bfloat16)
+    clip_embed = jax.random.normal(jax.random.PRNGKey(3), (batch, 512), jnp.bfloat16)
     params_q = jax.jit(gpt2.quantize_params)(params)
+    prefix_only = jax.jit(
+        lambda mp, ce: mapper.apply(mp, ce, map_cfg).astype(jnp.bfloat16)
+    )(map_params, clip_embed)
 
     # reference generate_no_beam sweep (inference.py:244) as one batch
     sweep = np.asarray([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9], np.float32)
-    top_p_rows = jnp.asarray(np.resize(sweep, BATCH))
+    top_p_rows = jnp.asarray(np.resize(sweep, batch))
     settings = engine.GenerationSettings(
         max_new_tokens=NEW_TOKENS,
         top_p=top_p_rows,
         repetition_penalty=1.2,
         stop_token_id=13,  # '.' in the GPT-2 vocab (reference inference.py:237)
-        # filter_method defaults to "threshold": sort-free exact top-p
+        # filter_method defaults to "fused": the Pallas filter+sampler
     )
 
     @jax.jit
-    def run(map_params, params_q, clip_embed):
+    def run_engine(params_q, prefix):
+        out = engine.generate(
+            gpt2.gpt2_int8, params_q, cfg, prefix, settings,
+            rng=jax.random.PRNGKey(0),
+        )
+        return jnp.sum(out["tokens"]) + jnp.sum(out["lengths"])
+
+    @jax.jit
+    def run_pipeline(map_params, params_q, clip_embed):
         prefix = mapper.apply(map_params, clip_embed, map_cfg)
         out = engine.generate(
             gpt2.gpt2_int8, params_q, cfg, prefix.astype(jnp.bfloat16), settings,
@@ -122,19 +142,99 @@ def _bench_engine_default(cfg, params):
         )
         return jnp.sum(out["tokens"]) + jnp.sum(out["lengths"])
 
-    float(run(map_params, params_q, clip_embed))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(map_params, params_q, clip_embed))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+    def median(fn, *a):
+        float(fn(*a))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(*a))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    return (median(run_engine, params_q, prefix_only),
+            median(run_pipeline, map_params, params_q, clip_embed))
 
 
-def _bench_vit_preprocess(batch: int = 256, iters: int = 10) -> float:
+def _bench_preprocess_e2e(n_images: int = 384, batch: int = 128,
+                          workers: int = 4, image_px: int = 256) -> float:
+    """END-TO-END preprocessing: synthetic webdataset tar (real JPEGs) ->
+    host decode + resize -> device normalize + ViT-B/32 encode -> npy
+    shards on disk (tools/preprocess.py, the reference's create_dataset.py
+    flow, README.md:5-22). Returns images/sec.
+
+    This is the honest counterpart of _bench_vit_encode: on this 1-core
+    host it is bound by JPEG decode, not by the device (which encodes at
+    ~12k img/s) — reported separately so neither number stands in for the
+    other."""
+    import contextlib
+    import io
+    import shutil
+    import sys
+    import tarfile
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from clipcap_tpu.tools.preprocess import preprocess_dataset
+    from clipcap_tpu.tokenizers import GPT2TokenizerWrapper
+    from clipcap_tpu.tokenizers.bpe import bytes_to_unicode
+
+    tmp = tempfile.mkdtemp(prefix="bench_prepro_")
+    try:
+        import json
+        import os
+
+        # synthetic vocab (the real gpt2 vocab files are not downloadable
+        # here — see PARITY.md; tokenization is a trivial fraction of the
+        # per-image cost either way)
+        vdir = f"{tmp}/vocab"
+        os.makedirs(vdir)
+        base = list(bytes_to_unicode().values())
+        with open(f"{vdir}/vocab.json", "w") as f:
+            json.dump({t: i for i, t in enumerate(base + ["<|endoftext|>"])}, f)
+        open(f"{vdir}/merges.txt", "w").write("\n")
+
+        rng = np.random.default_rng(0)
+        with tarfile.open(f"{tmp}/000.tar", "w") as tf:
+            for idx in range(n_images):
+                img = Image.fromarray(
+                    rng.integers(0, 255, (image_px, image_px, 3), dtype=np.uint8)
+                )
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG", quality=85)
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{idx:06d}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                cap = f"a synthetic benchmark image number {idx}".encode()
+                info = tarfile.TarInfo(f"{idx:06d}.txt")
+                info.size = len(cap)
+                tf.addfile(info, io.BytesIO(cap))
+
+        # keep stdout clean for the single JSON line
+        with contextlib.redirect_stdout(sys.stderr):
+            stats = preprocess_dataset(
+                input_dataset=f"{tmp}/000.tar",
+                output_folder=f"{tmp}/shards",
+                input_format="webdataset",
+                tokenizer=GPT2TokenizerWrapper.create(vdir),
+                batch_size=batch,
+                num_prepro_workers=workers,
+                max_token_length=32,
+                shard_size=n_images,
+            )
+        return stats["ips"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bench_vit_encode(batch: int = 256, iters: int = 10) -> float:
     """Second headline (BASELINE.md): ViT-B/32 image-encode throughput —
-    the device half of the webdataset->embedding-shards preprocessor.
+    the DEVICE half only of the webdataset->embedding-shards preprocessor
+    (random device-resident tensors in, no JPEG decode / host transfer;
+    see _bench_preprocess_e2e for the end-to-end rate).
 
     bf16 only: the opt-in int8 encode loses ~8% at 768-wide matmuls (the
     dynamic activation-quant + dequant overhead exceeds the MXU gain at
@@ -458,9 +558,11 @@ def main():
     p50_bf16 = safe(_bench_decode_raw, cfg, params, prefix, int8=False)
     p50_int8 = safe(_bench_decode_raw, cfg, params, prefix_512, int8=True,
                     batch=batch_int8)
-    p50_engine = safe(_bench_engine_default, cfg, params)
+    p50_engine, p50_pipeline = safe(_bench_engine_default, cfg, params,
+                                    default=(None, None))
     single_ms = safe(_bench_single_caption_latency, cfg, params)
-    vit_ips = safe(_bench_vit_preprocess)
+    vit_ips = safe(_bench_vit_encode)
+    prepro_ips = safe(_bench_preprocess_e2e)
     genb_ms = safe(_bench_genb_synthesis)
     train_steps_s, train_tokens_s = safe(_bench_train_step, default=(None, None))
     # config #2: the reference's headline training run — GPT2-XL,
@@ -492,10 +594,16 @@ def main():
                     "raw_greedy_bf16_captions_per_sec": rnd(p50_bf16 and BATCH / p50_bf16),
                     "bf16_batch": BATCH,
                     "p50_batch_latency_ms_bf16": rnd(p50_bf16 and p50_bf16 * 1000),
-                    "engine_default_captions_per_sec": rnd(p50_engine and BATCH / p50_engine),
-                    "engine_default_settings": "rep_penalty=1.2 top_p=sweep(0.1..0.9) stop='.' filter=threshold, mapper included",
-                    "vit_b32_preprocess_images_per_sec": rnd(vit_ips),
-                    "vit_b32_vs_10k_target": rnd(vit_ips and vit_ips / 10000.0, 3),
+                    "engine_default_captions_per_sec": rnd(p50_engine and batch_int8 / p50_engine),
+                    "engine_default_batch": batch_int8,
+                    "engine_default_settings": "rep_penalty=1.2 top_p=sweep(0.1..0.9) stop='.' filter=fused, from prefix (same start as raw greedy)",
+                    "pipeline_clip_to_caption_per_sec": rnd(p50_pipeline and batch_int8 / p50_pipeline),
+                    "pipeline_note": "mapper (12.6 TFLOP @ B=512) + engine default",
+                    "vit_b32_encode_images_per_sec": rnd(vit_ips),
+                    "vit_b32_encode_vs_10k_target": rnd(vit_ips and vit_ips / 10000.0, 3),
+                    "preprocess_e2e_images_per_sec": rnd(prepro_ips),
+                    "preprocess_e2e_workers": 4,
+                    "preprocess_e2e_note": "host-bound on this 1-core box (JPEG decode); device encode is the line above",
                     "genb_blip_synthesis_ms_per_image_40cand": rnd(genb_ms),
                     "train_step_config1_steps_per_sec": rnd(train_steps_s, 2),
                     "train_step_config1_tokens_per_sec": rnd(train_tokens_s),

@@ -7,9 +7,11 @@ the COCO ground truth (Bleu 1-4 + CIDEr) and log the metrics.
 
 The reference drives this with wandb bayesian sweeps maximizing Bleu_4
 (blip_coco_val_sample_sweep_bayes_01.yaml:4-6). wandb is optional here:
-`run_sweep` implements a local random-search driver over the same YAML
-parameter-space schema (values / min-max distributions), logging JSONL,
-and mirrors to wandb when available.
+`run_sweep` implements a local driver over the same YAML parameter-space
+schema (values / min-max distributions) — `method: bayes` runs TPE
+(utils/tpe.py, the default for the committed YAMLs), `method: random`
+plain random search — logging JSONL and mirroring to wandb when
+available.
 """
 
 from __future__ import annotations

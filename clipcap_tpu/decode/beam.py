@@ -18,13 +18,22 @@ import jax
 import jax.numpy as jnp
 
 
+#: cache fields beam search cannot handle: cross-attention / encoder
+#: tensors stay at image-batch size while beam queries are beam_size-wide,
+#: so the models' attention einsums would fail at trace time (nothing in
+#: blip_text/t5 groups beams over shared K/V — that layout exists only via
+#: decoder_lm repeat=, which beam_search does not use).
+_CROSS_FIELDS = ("cross_k", "cross_v", "cross_bias", "enc_hidden", "enc_bias")
+
+
 def _map_beam_axis(cache, fn):
     """Apply fn to every SELF-attention cache slab that follows beam
     reordering (axis 1 of the stacked [L, B, ...] arrays): the bf16
-    KVCache's k/v and the int8 caches' k/v/ks/vs scale slabs. This list
-    is deliberately narrower than parallel/dp.py's batch-axis map —
-    cross-attention / encoder tensors are shared by all beams of the one
-    prompt and must NOT be gathered per beam."""
+    KVCache's k/v and the int8 caches' k/v/ks/vs scale slabs.
+
+    Beam search supports self-attention-only caches (gpt2/gptj, bf16 or
+    int8). Caches carrying cross-attention tensors (blip_text, t5) are
+    rejected up front in beam_search — see _CROSS_FIELDS."""
     upd = {name: fn(getattr(cache, name))
            for name in ("k", "v", "ks", "vs") if hasattr(cache, name)}
     return cache._replace(**upd)
@@ -53,6 +62,16 @@ def beam_search(
     temp = temperature if temperature > 0 else 1.0
 
     cache = lm.init_cache(lm_cfg, batch=1, max_len=p_len + n, dtype=prompt_embeds.dtype)
+    present_cross = [f for f in _CROSS_FIELDS
+                     if getattr(cache, f, None) is not None]
+    if present_cross:
+        raise NotImplementedError(
+            "beam_search supports self-attention-only KV caches (gpt2/gptj, "
+            f"bf16 or int8); this cache carries cross-attention fields "
+            f"{present_cross} whose image-batch axis does not follow beam "
+            "reordering. Use decode/engine.generate (optionally with "
+            "decoder_lm repeat=) for BLIP/T5-style cross-attention decoders."
+        )
     if cache_constraint is not None:
         cache = cache_constraint(cache)
     logits, cache = lm.prefill(params, lm_cfg, prompt_embeds, cache)

@@ -171,10 +171,11 @@ def generate_clip_guided(
         texts = [tokenizer.decode_tokens([t for t in c[0] if t not in special])
                  for c in candidates]
         text_feats = clip_scoring.embed_text(texts)
-        # eps guard mirrors torch cosine_similarity's built-in eps (the
-        # reference scores with it, evaluate_model.py:277-290): an
-        # all-special candidate yields a zero text feature, and a bare
-        # divide would poison the argmax with NaNs
+        # eps guard is a DELIBERATE divergence from the reference, which
+        # normalizes with a bare torch.norm divide (evaluate_model.py:284-285)
+        # and would NaN-poison its own argmax on an all-special candidate
+        # (zero text feature -> 0/0); clamping the norm keeps the argmax
+        # well-defined without changing any non-degenerate score
         text_feats = text_feats / jnp.maximum(
             jnp.linalg.norm(text_feats, axis=-1, keepdims=True), 1e-8
         )

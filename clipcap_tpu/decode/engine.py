@@ -60,13 +60,23 @@ class GenerationSettings:
     sentence_length_factor: float = 1.0
 
     # logit-filter implementation:
-    #   "threshold" (default): sort-free per-row cutoff bisection — exact
-    #     full-vocab semantics at ~1.7 ms/step on a 50k vocab (B=256)
-    #     vs ~300 ms for the sort path (ops/sampling.*_threshold);
+    #   "fused" (default): on TPU, the SAMPLED path runs one Pallas kernel
+    #     (ops/pallas/fused_sampler.py) doing threshold filtering + Gumbel
+    #     top-2 sampling on VMEM-resident logits with the on-core PRNG —
+    #     ~1 HBM pass/step instead of ~40 (measured ~6 ms -> ~1 ms at
+    #     [512, 50257]). Filter semantics match "threshold"; the sampling
+    #     STREAM differs from jax.random (same distribution, different
+    #     draws). Falls back to "threshold" whenever the kernel does not
+    #     apply: non-TPU backends (CPU tests keep bit-stable trajectories),
+    #     greedy decode, active typ_p, or an active sentence-length
+    #     penalty (applied between filter and sample).
+    #   "threshold": sort-free per-row cutoff bisection — exact full-vocab
+    #     semantics at ~1.7 ms/step on a 50k vocab (B=256) vs ~300 ms for
+    #     the sort path (ops/sampling.*_threshold);
     #   "sort": the sort-based reference transcription; honors
     #     vocab_prefilter (> 0 = run on the lax.top_k(N) candidate set,
     #     exact while the nucleus fits; 0 = full-vocab sorts).
-    filter_method: str = "threshold"
+    filter_method: str = "fused"
     vocab_prefilter: int = 0
 
     # KV-attend segmentation: when > 0, the decode scan is split into
@@ -200,13 +210,16 @@ def generate(
         rng, sample_key = jax.random.split(rng)
 
         logits = last_logits  # [B, V] f32
-        # raw (pre-filter) log-probs are only consumed by the Gen-B EOS
-        # statistics — skip the full-vocab log_softmax otherwise
-        raw_logp = (
-            jax.nn.log_softmax(logits, axis=-1)
-            if settings.eos_token_id is not None
-            else None
-        )
+        # raw (pre-filter) log P(eos) is the only Gen-B statistic needing
+        # the unfiltered distribution — one logsumexp pass, not a full
+        # [B, V] log_softmax materialization
+        if settings.eos_token_id is not None:
+            raw_eos_lp = (
+                logits[:, settings.eos_token_id]
+                - jax.scipy.special.logsumexp(logits, axis=-1)
+            )
+        else:
+            raw_eos_lp = None
 
         # min-length EOS suppression on raw logits (reference sampling.py:205-206)
         if settings.eos_token_id is not None:
@@ -222,47 +235,86 @@ def generate(
 
         t = settings.temperature
         logits = logits / (t if t > 0 else 1.0)
-        # static gating: skip filters whose settings are Python-level zeros —
-        # each active filter costs a full-vocab sort per step otherwise
-        threshold_filters = settings.filter_method == "threshold"
-        if _statically_active(settings.top_k) or _statically_active(settings.top_p):
-            if threshold_filters:
-                logits = S.top_k_top_p_filter_threshold(logits, top_k, top_p)
-            else:
-                logits = S.top_k_top_p_filter(
-                    logits, top_k, top_p, prefilter_k=settings.vocab_prefilter
-                )
-        if _statically_active(settings.typ_p):
-            if threshold_filters:
-                logits = S.typical_filter_threshold(logits, typ_p)
-            else:
-                logits = S.typical_filter(logits, typ_p)
+        topk_active = _statically_active(settings.top_k)
+        topp_active = _statically_active(settings.top_p)
+        typp_active = _statically_active(settings.typ_p)
+        slp_active = (
+            settings.desired_sentence_length > 0
+            and settings.stop_token_id is not None
+        )
+        want_alt = (not settings.greedy) and settings.min_alternate_prob > 0
+        # fused Pallas path: filter + Gumbel top-2 sampling in one kernel
+        # (ops/pallas/fused_sampler.py). Only for the sampled path on TPU
+        # with no typical filter and no sentence-length penalty (both sit
+        # between filtering and sampling in the reference order).
+        use_fused = (
+            settings.filter_method == "fused"
+            and not settings.greedy
+            and not typp_active
+            and not slp_active
+            and jax.default_backend() == "tpu"
+        )
 
-        if settings.desired_sentence_length > 0 and settings.stop_token_id is not None:
-            logits = S.sentence_length_penalty(
-                logits,
-                settings.stop_token_id,
-                current_length=step,
-                desired_length=settings.desired_sentence_length,
-                length_factor=settings.sentence_length_factor,
+        if use_fused:
+            from ..ops.pallas.fused_sampler import fused_filter_sample
+
+            seed = jax.random.randint(
+                sample_key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
             )
-
-        if settings.greedy:
-            next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            alt_token = next_token
-            alt_prob = jnp.zeros((b,), jnp.float32)
+            next_token, alt_token, alt_prob = fused_filter_sample(
+                logits, top_k, top_p, seed,
+                do_topk=topk_active, do_topp=topp_active,
+                want_alt_prob=want_alt,
+            )
+            next_token = next_token.astype(jnp.int32)
+            alt_token = alt_token.astype(jnp.int32)
         else:
-            samples = S.sample_categorical(sample_key, logits, num_samples=2)
-            next_token, alt_token = samples[:, 0], samples[:, 1]
-            probs = jax.nn.softmax(logits, axis=-1)
-            alt_prob = jnp.take_along_axis(probs, alt_token[:, None], axis=-1)[:, 0]
+            # static gating: skip filters whose settings are Python-level
+            # zeros — each active filter costs full-vocab passes per step
+            threshold_filters = settings.filter_method != "sort"
+            if topk_active or topp_active:
+                if threshold_filters:
+                    logits = S.top_k_top_p_filter_threshold(logits, top_k, top_p)
+                else:
+                    logits = S.top_k_top_p_filter(
+                        logits, top_k, top_p, prefilter_k=settings.vocab_prefilter
+                    )
+            if typp_active:
+                if threshold_filters:
+                    logits = S.typical_filter_threshold(logits, typ_p)
+                else:
+                    logits = S.typical_filter(logits, typ_p)
+
+            if slp_active:
+                logits = S.sentence_length_penalty(
+                    logits,
+                    settings.stop_token_id,
+                    current_length=step,
+                    desired_length=settings.desired_sentence_length,
+                    length_factor=settings.sentence_length_factor,
+                )
+
+            if settings.greedy:
+                next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                alt_token = next_token
+                alt_prob = jnp.zeros((b,), jnp.float32)
+            else:
+                samples = S.sample_categorical(sample_key, logits, num_samples=2)
+                next_token, alt_token = samples[:, 0], samples[:, 1]
+                if want_alt:
+                    probs = jax.nn.softmax(logits, axis=-1)
+                    alt_prob = jnp.take_along_axis(
+                        probs, alt_token[:, None], axis=-1
+                    )[:, 0]
+                else:
+                    alt_prob = jnp.zeros((b,), jnp.float32)
 
         # ---- completion logic -------------------------------------------------
         completed = jnp.zeros((b,), bool)
         over_length = jnp.zeros((b,), bool)
         eos_lp = jnp.zeros((b,), jnp.float32)
         if settings.eos_token_id is not None:
-            eos_lp = raw_logp[:, settings.eos_token_id]
+            eos_lp = raw_eos_lp
             completed |= next_token == settings.eos_token_id
             # the reference splices length-capped rows out BEFORE appending
             # the sampled token (sampling.py:252-268), so this step's token

@@ -106,8 +106,15 @@ def _compiled_sample(text_cfg: BlipTextConfig, settings: GenerationSettings, key
             return generate(lm, text_params, text_cfg, prompt_arr, live,
                             rng=rng, prompt_tokens=prompt_arr)
 
-        if len(_SAMPLE_CACHE) > 32:  # bound the executable cache
-            _SAMPLE_CACHE.clear()
+        if len(_SAMPLE_CACHE) > 32:  # bound the executable cache: evict the
+            # least-recently-used entry only — wiping the whole dict would
+            # make a sweep alternating >32 distinct static settings thrash
+            # full recompiles (~9.4 s each through the relay)
+            _SAMPLE_CACHE.pop(next(iter(_SAMPLE_CACHE)))
+        _SAMPLE_CACHE[cache_key] = fn
+    else:
+        # move-to-end: dict insertion order doubles as the LRU order
+        _SAMPLE_CACHE.pop(cache_key)
         _SAMPLE_CACHE[cache_key] = fn
     return fn
 

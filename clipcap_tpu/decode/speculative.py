@@ -143,11 +143,6 @@ def speculative_greedy(
                          next_tok)  # [g+1]; slots > n_accept are padding
         n_emit = n_accept + 1
 
-        # rewind both caches to cover exactly the emitted history minus
-        # the newest token (the invariant at loop entry)
-        t_cache = _rewind(t_cache, (g + 1) - n_emit)
-        d_cache = _rewind(d_cache, (g + 1) - n_emit)
-
         tokens = jax.lax.dynamic_update_slice(tokens, emit, (count,))
         if eos_token_id is not None:
             idx = jnp.arange(g + 1)
@@ -155,6 +150,16 @@ def speculative_greedy(
             eos_at = jnp.min(jnp.where(hit, idx, buf))
             n_emit = jnp.minimum(n_emit, eos_at + 1)
             done = done | jnp.any(hit)
+
+        # rewind both caches to cover exactly the emitted history minus
+        # the newest token (the invariant at loop entry) — computed from
+        # the EOS-TRUNCATED n_emit so the invariant also holds on the
+        # exiting iteration (a mid-chunk EOS shrinks the emitted history;
+        # rewinding by the pre-truncation amount would leave both caches
+        # up to g positions ahead, a trap for any future continuation
+        # extension even though done=True exits the loop today)
+        t_cache = _rewind(t_cache, (g + 1) - n_emit)
+        d_cache = _rewind(d_cache, (g + 1) - n_emit)
         count = count + n_emit
         done = done | (count >= n)
         return tokens, count, done, chunks + 1, t_cache, d_cache

@@ -53,14 +53,14 @@ def _layer_init(rng, dim: int, num_heads: int, mlp_ratio: float, gated: bool, dt
     keys = jax.random.split(rng, 5)
     h_dim = int(dim * mlp_ratio)
     h_pre = h_dim * 2 if gated else h_dim
-    proj = _linear_init(keys[2], dim, dim)
-    fc1 = _linear_init(keys[3], dim, h_pre)
-    fc2 = _linear_init(keys[4], h_dim, dim)
+    proj = _linear_init(keys[2], dim, dim, dtype=dtype)
+    fc1 = _linear_init(keys[3], dim, h_pre, dtype=dtype)
+    fc2 = _linear_init(keys[4], h_dim, dim, dtype=dtype)
     return {
         "ln1": {"g": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)},
         "attn": {
-            "wq": _linear_init(keys[0], dim, dim, with_bias=False)["w"],
-            "wkv": _linear_init(keys[1], dim, 2 * dim, with_bias=False)["w"],
+            "wq": _linear_init(keys[0], dim, dim, with_bias=False, dtype=dtype)["w"],
+            "wkv": _linear_init(keys[1], dim, 2 * dim, with_bias=False, dtype=dtype)["w"],
             "wo": proj["w"],
             "bo": proj["b"],
         },
@@ -80,10 +80,13 @@ def init(rng: jax.Array, cfg: MapperConfig, dtype=jnp.float32) -> dict:
     gated = is_gated(cfg.act_fn)
     d = cfg.dim_embedding
 
+    # dtype flows into EVERY weight: leaving the linears at f32 silently
+    # runs all mapper matmuls on the f32 MXU path (measured 208 ms vs
+    # 5 ms bf16 for the B=512 GPT2-XL-width mapper on v5e)
     if cfg.use_all_features:
-        linear = _linear_init(k_lin, cfg.dim_clip, d)
+        linear = _linear_init(k_lin, cfg.dim_clip, d, dtype=dtype)
     else:
-        linear = _linear_init(k_lin, cfg.dim_clip, cfg.clip_length * d)
+        linear = _linear_init(k_lin, cfg.dim_clip, cfg.clip_length * d, dtype=dtype)
 
     params = {
         "linear": linear,

@@ -186,3 +186,22 @@ def test_sweep_trials_reuse_one_executable(wp_tokenizer):
     assert len(_SAMPLE_CACHE) == n_compiled  # second trial reused the closure
     assert params1 != params2  # per-trial metadata reflects each trial's values
     assert caps1 and caps2
+
+
+def test_sample_cache_evicts_lru_not_everything():
+    """The executable cache bound evicts ONE least-recently-used entry —
+    wiping the dict would make a sweep alternating >32 distinct static
+    settings recompile its hot key (~9.4 s per compile over the relay)."""
+    from clipcap_tpu.decode.hetero import _SAMPLE_CACHE, _compiled_sample
+
+    _SAMPLE_CACHE.clear()
+    try:
+        hot = _compiled_sample(TEXT_CFG, None, key=(("hot", 0),), sample_count=1)
+        for i in range(40):  # overflow the 32-entry bound several times
+            _compiled_sample(TEXT_CFG, None, key=(("cold", i),), sample_count=1)
+            # touching the hot key must refresh its recency...
+            assert _compiled_sample(
+                TEXT_CFG, None, key=(("hot", 0),), sample_count=1) is hot
+        assert 0 < len(_SAMPLE_CACHE) <= 33  # ...and the bound still holds
+    finally:
+        _SAMPLE_CACHE.clear()
