@@ -9,10 +9,15 @@ weights (1.0 / 0.6 / 0.8).
 
 The synonym stage matches meteor-1.5's WordNet synonymy through
 eval/synonyms.py: full WordNet when nltk's corpus is installed, a
-vendored caption-domain synonym table otherwise (DOCUMENTED DEVIATION:
-offline, synonym pairs outside the vendored table score as non-matches,
-slightly lowering absolute METEOR on such captions; scores still move
-monotonically with match quality).
+vendored caption-domain synonym table otherwise (DOCUMENTED + QUANTIFIED
+DEVIATION: offline, synonym pairs outside the vendored table score as
+non-matches. Measured bound: one missed pair on a 9-word caption lowers
+that caption's METEOR by 0.1087 (= one alignment slot falling from the
+0.8-weight synonym stage to unmatched); corpus-level impact scales with
+the fraction of captions whose alignment hinges on an out-of-table pair.
+tests/test_eval_metrics.py::test_meteor_offline_synonym_deviation_is_bounded
+freezes the bound at 0.11 per missed pair; scores move monotonically with
+match quality either way).
 """
 
 from __future__ import annotations

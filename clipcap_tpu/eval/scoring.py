@@ -3,9 +3,9 @@
 Two variants, mirroring the reference exactly:
 - generate_scores (evaluate_model.py:27-63): PTB tokenize -> Bleu 1-4 +
   CIDEr, returning (corpus dict, per-image dict);
-- generate_scores_full (utils/scoring.py:4-40): additionally METEOR and
-  ROUGE_L (SPICE needs a Java scene-graph parser and is gated off; pass
-  include_spice=True to get a clear error rather than a silent absence).
+- generate_scores_full (utils/scoring.py:4-40): additionally METEOR,
+  ROUGE_L and SPICE (the latter via eval/spice.py's Python approximation
+  of the Java scene-graph pipeline — see its documented deviation).
 """
 
 from __future__ import annotations
@@ -50,32 +50,23 @@ def generate_scores(gts: Dict, res: Dict) -> Tuple[Dict, Dict]:
     return _run(gts, res, scorers)
 
 
-def generate_scores_full(gts: Dict, res: Dict, include_spice: bool = False) -> Tuple[Dict, Dict]:
-    """Bleu + METEOR + ROUGE_L + CIDEr (reference utils/scoring.py:4-40).
+def generate_scores_full(gts: Dict, res: Dict, include_spice: bool = True) -> Tuple[Dict, Dict]:
+    """Bleu + METEOR + ROUGE_L + CIDEr + SPICE (reference utils/scoring.py:4-40).
 
-    SPICE is formally unsupported: it requires pycocoevalcap's Java
-    scene-graph parser (Stanford CoreNLP), which has no Python
-    reimplementation. Requesting it DEGRADES — results carry
-    ``SPICE: nan`` and a warning is emitted — rather than crashing an
-    evaluation run that also asked for the supported metrics.
+    SPICE is scored by eval/spice.py — a Python approximation of the
+    reference's Java pipeline (rule-based tuple extraction in place of
+    the Stanford-CoreNLP scene-graph parser, same F1-over-tuples scoring
+    model with synonym matching; eval/spice.py's docstring states the
+    deviation). Pass include_spice=False to skip it.
     """
+    from .spice import spice
+
     scorers = [
         (lambda g, r: bleu(g, r), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
         (lambda g, r: meteor(g, r), "METEOR"),
         (lambda g, r: rouge_l(g, r), "ROUGE_L"),
         (lambda g, r: cider_d(g, r), "CIDEr"),
     ]
-    output, img_output = _run(gts, res, scorers)
     if include_spice:
-        import math
-        import warnings
-
-        warnings.warn(
-            "SPICE is unsupported (Java scene-graph parser); reporting NaN. "
-            "See eval/scoring.py.",
-            stacklevel=2,
-        )
-        output["SPICE"] = math.nan
-        for img_id in img_output:
-            img_output[img_id]["SPICE"] = math.nan
-    return output, img_output
+        scorers.append((lambda g, r: spice(g, r), "SPICE"))
+    return _run(gts, res, scorers)

@@ -100,16 +100,13 @@ def test_generate_scores_interface():
     assert set(scores) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "CIDEr"}
     assert set(img_scores[1]) == set(scores)
 
-    full, _ = generate_scores_full(gts, res)
-    assert set(full) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"}
-    # SPICE is formally unsupported: requesting it degrades (NaN + warning),
-    # never crashes the run (VERDICT r1 missing #2)
-    import math
-    with pytest.warns(UserWarning, match="SPICE"):
-        full_sp, img_sp = generate_scores_full(gts, res, include_spice=True)
-    assert math.isnan(full_sp["SPICE"])
-    assert math.isnan(img_sp[1]["SPICE"])
-    assert full_sp["CIDEr"] == full["CIDEr"]  # supported metrics unaffected
+    full, img_full = generate_scores_full(gts, res)
+    assert set(full) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
+                         "ROUGE_L", "CIDEr", "SPICE"}
+    assert 0.0 <= full["SPICE"] <= 1.0 and 0.0 <= img_full[1]["SPICE"] <= 1.0
+    no_sp, _ = generate_scores_full(gts, res, include_spice=False)
+    assert "SPICE" not in no_sp
+    assert no_sp["CIDEr"] == full["CIDEr"]  # other metrics unaffected
 
 
 def test_meteor_synonym_stage():
@@ -144,3 +141,94 @@ def test_meteor_synonym_stage():
         synonym_table=custom,
     )
     assert forced > unrel
+
+
+def test_meteor_offline_synonym_deviation_is_bounded():
+    """Quantify the documented offline deviation (eval/meteor.py): synonym
+    pairs OUTSIDE the vendored caption-domain table score as non-matches.
+
+    The WordNet corpus is not installable here (nltk ships code only, no
+    data — see eval/synonyms.from_nltk_wordnet), so full-WordNet synonymy
+    is simulated by EXTENDING the vendored table with known WordNet pairs
+    it misses. On a 9-word caption whose alignment differs by exactly one
+    such pair, the measured deficit is 0.1087 METEOR per missed pair.
+    This test freezes that bound: if the vendored table or the matcher
+    drifts so a missed pair costs more than 0.11, it fails."""
+    from clipcap_tpu.eval import synonyms as syn_mod
+    from clipcap_tpu.eval.synonyms import SynonymTable, default_table
+
+    base = default_table()
+    # true WordNet synonym pairs deliberately outside the caption domain
+    wordnet_pairs = [("physician", "doctor"), ("attorney", "lawyer"),
+                     ("currency", "money"), ("quarrel", "argument"),
+                     ("fog", "mist")]
+    missing = [p for p in wordnet_pairs if not base.are_synonyms(*p)]
+    assert len(missing) >= 3  # the table stays caption-domain
+
+    gts, res = {}, {}
+    for i, (a, b) in enumerate(missing):
+        gts[i] = [f"a {a} appears near the old wooden fence at sunset"]
+        res[i] = [f"a {b} appears near the old wooden fence at sunset"]
+    vend, vend_scores = meteor(gts, res, base)
+    full_table = SynonymTable(tuple(syn_mod._CAPTION_SYNSETS) + tuple(missing))
+    full, full_scores = meteor(gts, res, full_table)
+
+    # direction: missing synonymy can only LOWER the offline score
+    assert full >= vend
+    deltas = [f - v for f, v in zip(full_scores, vend_scores)]
+    assert all(d > 0 for d in deltas)  # each pair really exercised the stage
+    assert max(deltas) <= 0.11  # frozen measured bound (0.1087 per pair)
+
+
+def test_spice_extraction_fixtures():
+    """Pin the rule-based scene-graph extraction (eval/spice.py) on simple
+    declarative captions — the tuples a dependency-parse-based extractor
+    yields on these patterns (documented deviation covers the rest)."""
+    from clipcap_tpu.eval.spice import extract_tuples
+
+    cases = {
+        "a man rides a red bicycle": {
+            ("man",), ("bicycle",), ("bicycle", "red"),
+            ("man", "rides", "bicycle"),
+        },
+        "a young woman is sitting on a wooden bench": {
+            ("woman",), ("woman", "young"), ("bench",), ("bench", "wooden"),
+            ("woman", "sitting on", "bench"),
+        },
+        "the car is red": {("car",), ("car", "red")},
+        "a plate of food on the table": {
+            ("plate",), ("food",), ("table",),
+            ("plate", "of", "food"), ("food", "on", "table"),
+        },
+        "two dogs play with a ball in the park": {
+            ("dogs",), ("ball",), ("park",),
+            ("dogs", "play with", "ball"), ("ball", "in", "park"),
+        },
+    }
+    for caption, want in cases.items():
+        assert extract_tuples(caption) == frozenset(want), caption
+
+
+def test_spice_scoring_model():
+    """SPICE scoring invariants: perfect=1, disjoint=0, monotone in
+    matched tuples, synonym matching counts."""
+    from clipcap_tpu.eval.spice import spice
+
+    gts = {1: ["a man rides a red bicycle", "a person riding a bike"],
+           2: ["a cat sleeps on the sofa"]}
+    perfect, _ = spice({1: ["a man rides a bicycle"]},
+                       {1: ["a man rides a bicycle"]})
+    assert perfect == 1.0
+    disjoint, _ = spice(gts, {1: ["a plane flying in the sky"],
+                              2: ["two pizzas under an umbrella"]})
+    assert disjoint == 0.0
+
+    close, _ = spice(gts, {1: ["a man riding a red bicycle"],
+                           2: ["a cat sleeping on a couch"]})  # couch~sofa synonym
+    far, _ = spice(gts, {1: ["a man riding a horse"],
+                         2: ["a cat sleeping on a roof"]})
+    assert 0.0 < far < close <= 1.0
+
+    # synonym stage: bike ~ bicycle through the shared table
+    syn, _ = spice({1: ["a man rides a bicycle"]}, {1: ["a man rides a bike"]})
+    assert syn == 1.0
