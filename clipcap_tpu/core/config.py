@@ -117,6 +117,26 @@ class T5Config(_JsonMixin):
     feed_forward_proj: str = "relu"  # "relu" (t5) or "gated-gelu" (t5 v1.1 / T0)
     tie_word_embeddings: bool = True
 
+    @classmethod
+    def variant(cls, name: str) -> "T5Config":
+        """HF presets. "t0-11b" = bigscience/T0 = T5 v1.1 XXL geometry
+        (gated-gelu, untied lm_head, 4096/10240/64h), ~11B params —
+        the reference's T0 decoder family (lms/T0.py)."""
+        presets = {
+            "t5-small": dict(),
+            "t5-base": dict(d_model=768, d_ff=3072, num_layers=12,
+                            num_decoder_layers=12, num_heads=12),
+            "t5-large": dict(d_model=1024, d_ff=4096, num_layers=24,
+                             num_decoder_layers=24, num_heads=16),
+            "t0-11b": dict(d_model=4096, d_ff=10240, num_layers=24,
+                           num_decoder_layers=24, num_heads=64,
+                           feed_forward_proj="gated-gelu",
+                           tie_word_embeddings=False),
+        }
+        if name not in presets:
+            raise ValueError(f"unknown T5 variant {name!r}")
+        return cls(**presets[name])
+
 
 @dataclasses.dataclass(frozen=True)
 class ViTConfig(_JsonMixin):

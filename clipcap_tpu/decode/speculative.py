@@ -37,6 +37,19 @@ Design notes (single chip, lm/registry protocol):
 Greedy only: the stochastic variant needs the rejection-sampling
 correction scheme; the reference pipeline's quality-bearing decodes
 (beam, ranked Gen-B) are deterministic rankings anyway.
+
+Measured (v5e, bf16, batch 1, gamma=4 — bench._bench_speculative, r3):
+plain GPT2-XL greedy 5.53 ms/token; GPT-2-small plain 0.80; self-draft
+(target drafts for itself -> 100% acceptance with an equal-cost draft)
+7.39 — i.e. the acceptance/rewind machinery itself costs 1.34x, the
+equal-cost draft can never win; adversarial draft (near-zero acceptance)
+8.57 — the overhead floor. With the measured small-draft step cost the
+analytic ceiling at full acceptance is (4*0.80 + 5.53)/4 = 2.18 ms/token
+(2.5x over plain): a chunk costs ~8.7 ms against 5.53/token plain, so a
+real small draft PAYS on this chip once it averages > ~1.6 accepted
+tokens per 4-token chunk (~40% per-position agreement) and approaches
+2.5x at high agreement. Needs real trained draft/target checkpoints to
+realize; with random weights only the bounds are measurable.
 """
 
 from __future__ import annotations
