@@ -79,41 +79,17 @@ class GenerationSettings:
     filter_method: str = "fused"
     vocab_prefilter: int = 0
 
-    # KV-attend segmentation: when > 0, the decode scan is split into
-    # consecutive segments whose step functions read only the first
-    # round_up(prompt+step+1, quantum) cache positions (the models'
-    # decode_step attend_len hint). Bit-identical to the full-cache path
-    # (tests/test_decode_engine.py::test_attend_segmentation_bit_identical).
-    # Default OFF: on this chip XLA does not turn the narrowed KV slice
-    # into less HBM traffic (the slice materializes instead of fusing into
-    # the attention dot, and segment boundaries re-copy the scan carry) —
-    # measured 12% SLOWER at GPT2-XL B=256. The hook is kept for kernels
-    # that can honor it (a manual-DMA Pallas decode attention can skip
-    # unwritten KV blocks for real).
-    attend_quantum: int = 0
+    # NOTE: an attend_quantum/attend_len segmentation (read only the
+    # written KV prefix per decode segment) existed through r2 and was
+    # REMOVED in r3: XLA materializes narrowed cache slices instead of
+    # fusing them (12% slower end-to-end), and the Pallas manual-DMA
+    # decode-attention kernel that could narrow the read for real streams
+    # int8 KV slabs at ~30-37 GB/s on this chip regardless of minor-dim
+    # packing (64/128/256 probed) vs ~408 GB/s for the fused XLA
+    # full-width read — an order of magnitude short of paying for the
+    # ~20% traffic it saves. See CLAUDE.md performance facts.
 
     pad_token_id: int = 0
-
-
-def attend_segments(p_len: int, n: int, quantum: int):
-    """Split n decode steps into (start, end, attend_len) segments.
-
-    Steps s in [start, end) read only the first attend_len cache positions,
-    where attend_len = round_up(p_len + s + 1, quantum) capped at the full
-    cache length p_len + n (step s's decode_step sees cache.index =
-    p_len + s and appends one position, so p_len + s + 1 always fits).
-    """
-    total = p_len + n
-    if not quantum or quantum <= 0:
-        return [(0, n, None)]
-    segs = []
-    s0 = 0
-    while s0 < n:
-        a_len = min(-(-(p_len + s0 + 1) // quantum) * quantum, total)
-        s1 = min(a_len - p_len, n)
-        segs.append((s0, s1, a_len))
-        s0 = s1
-    return segs
 
 
 def _rows(x: Scalar, b: int, dtype=jnp.float32):
@@ -204,8 +180,7 @@ def generate(
     prefill_logits, cache = lm.prefill(params, lm_cfg, prompt_embeds, cache)
     last_logits = prefill_logits[:, -1].astype(jnp.float32)
 
-    def make_step_fn(attend_len):
-      def step_fn(carry, step):
+    def step_fn(carry, step):
         cache, last_logits, hist, hist_valid, stopped, stops, rng = carry
         rng, sample_key = jax.random.split(rng)
 
@@ -358,14 +333,10 @@ def generate(
             step_in = lm.embed_tokens(params, emitted)[:, None, :].astype(
                 prompt_embeds.dtype
             )
-        logits_next, cache = lm.decode_step(
-            params, lm_cfg, step_in, cache, attend_len=attend_len
-        )
+        logits_next, cache = lm.decode_step(params, lm_cfg, step_in, cache)
 
         out = (emitted, newly_live, eos_lp)
         return (cache, logits_next.astype(jnp.float32), hist, hist_valid, stopped, new_stops, rng), out
-
-      return step_fn
 
     carry = (
         cache,
@@ -376,19 +347,14 @@ def generate(
         jnp.zeros((b,), jnp.int32),
         rng,
     )
-    tok_parts, live_parts, eos_parts = [], [], []
-    for s0, s1, a_len in attend_segments(p_len, n, settings.attend_quantum):
-        carry, (tk, lv, el) = jax.lax.scan(
-            make_step_fn(a_len), carry, jnp.arange(s0, s1)
-        )
-        tok_parts.append(tk)
-        live_parts.append(lv)
-        eos_parts.append(el)
+    carry, (tok_steps, live_steps, eos_steps) = jax.lax.scan(
+        step_fn, carry, jnp.arange(n)
+    )
     stopped = carry[4]
 
-    tokens = jnp.concatenate(tok_parts, axis=0).T  # [B, N]
-    live = jnp.concatenate(live_parts, axis=0).T
-    eos_lp = jnp.concatenate(eos_parts, axis=0)
+    tokens = tok_steps.T  # [B, N]
+    live = live_steps.T
+    eos_lp = eos_steps
     result = {
         "tokens": tokens,
         "lengths": jnp.sum(live, axis=-1).astype(jnp.int32),

@@ -9,14 +9,7 @@ Every LM module implements the same functional protocol:
     embedding_size(params)                        -> int
     init_cache(cfg, batch, max_len, dtype)        -> cache
     prefill(params, cfg, inputs_embeds, cache)    -> (logits, cache)
-    decode_step(params, cfg, token_embed, cache, attend_len=None)
-                                                  -> (logits [B, V], cache)
-
-decode_step's attend_len is a static hint: when set, attention reads only
-the first attend_len cache positions (the caller guarantees they cover
-cache.index + 1). decode/engine.generate uses it to run the decode scan
-in segments that skip the unwritten KV-cache tail (GenerationSettings.
-attend_quantum) — results are bit-identical.
+    decode_step(params, cfg, token_embed, cache)  -> (logits [B, V], cache)
 
 which is the KV-cached TPU superset of the reference wrappers' surface
 (`create/get_embedding_size/get_embedding_text/call`, lms/GPT2.py:6-19,

@@ -230,11 +230,10 @@ def _precompute_cross(params, cfg: BlipTextConfig, encoder_hidden_states):
 
 
 def _forward_cached(params, cfg: BlipTextConfig, tokens, cache: KVCache,
-                    attend_len=None, cross_repeat: int = 1):
+                    cross_repeat: int = 1):
     b, t = tokens.shape
     heads, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
-    max_len = cache.k.shape[2]
-    a_len = max_len if attend_len is None else min(int(attend_len), max_len)
+    a_len = cache.k.shape[2]
     idx = cache.index
     eps = cfg.layer_norm_epsilon
 
@@ -329,10 +328,9 @@ def decoder_lm(
         return _forward_cached(params, cfg, token_ids, cache,
                                cross_repeat=repeat)
 
-    def decode_step(params_, cfg_, token_ids, cache, attend_len=None):
+    def decode_step(params_, cfg_, token_ids, cache):
         logits, cache = _forward_cached(
-            params, cfg, token_ids, cache, attend_len=attend_len,
-            cross_repeat=repeat,
+            params, cfg, token_ids, cache, cross_repeat=repeat,
         )
         return logits[:, -1], cache
 

@@ -163,7 +163,6 @@ def _forward_cached(
     cache: KVCache,
     fresh: bool = False,
     full_logits: bool = True,
-    attend_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Shared prefill/step forward writing into the fixed-shape cache.
 
@@ -185,19 +184,14 @@ def _forward_cached(
     - full_logits=False: the tied lm_head runs on the LAST position only
       and returns [B, 1, V] — decode only ever consumes logits[:, -1]
       (a [B,40,50257] f32 logits tensor is 2 GB otherwise).
-    - attend_len (static): upper bound on the number of *written* cache
-      positions; attention reads only cache[:, :, :attend_len]. The KV
-      stream dominates decode HBM traffic, and early steps have written
-      far less than maxT — running the decode loop as a few scans with a
-      stepped attend_len (decode/engine.py segments) skips the unwritten
-      tail instead of streaming and masking it. Caller must guarantee
-      idx + t <= attend_len; results are bit-identical (masked positions
-      carry exactly-zero softmax weight either way).
+
+    (An attend_len narrowing of the KV read existed through r2 and was
+    removed: XLA materializes the narrowed slice instead of fusing it —
+    measured 12% slower end-to-end. See decode/engine.py NOTE.)
     """
     b, t, d = inputs_embeds.shape
     h_heads, dh = cfg.n_head, d // cfg.n_head
-    max_len = cache.k.shape[2]
-    a_len = max_len if attend_len is None else min(int(attend_len), max_len)
+    a_len = cache.k.shape[2]
     idx = cache.index
 
     positions = idx + jnp.arange(t)
@@ -291,16 +285,10 @@ def decode_step(
     cfg: GPT2Config,
     token_embed: jnp.ndarray,
     cache: KVCache,
-    attend_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """One autoregressive step: token_embed [B, 1, D] -> logits [B, V].
-
-    attend_len (static, optional): see _forward_cached — read only the
-    first attend_len cache positions (must cover cache.index + 1).
-    """
+    """One autoregressive step: token_embed [B, 1, D] -> logits [B, V]."""
     logits, cache = _forward_cached(
         params, cfg, token_embed, cache, fresh=False, full_logits=False,
-        attend_len=attend_len,
     )
     return logits[:, -1], cache
 
@@ -390,12 +378,10 @@ def _forward_cached_q8(
     cache: Int8KVCache,
     fresh: bool = False,
     full_logits: bool = False,
-    attend_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Int8KVCache]:
     b, t, d = inputs_embeds.shape
     h_heads, dh = cfg.n_head, d // cfg.n_head
-    max_len = cache.k.shape[3]
-    a_len = max_len if attend_len is None else min(int(attend_len), max_len)
+    a_len = cache.k.shape[3]
     idx = cache.index
     eps = cfg.layer_norm_epsilon
 
@@ -498,10 +484,9 @@ def decode_step_q8(
     cfg: GPT2Config,
     token_embed: jnp.ndarray,
     cache: Int8KVCache,
-    attend_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Int8KVCache]:
     logits, cache = _forward_cached_q8(
-        params, cfg, token_embed, cache, attend_len=attend_len
+        params, cfg, token_embed, cache
     )
     return logits[:, -1], cache
 

@@ -178,19 +178,13 @@ def init_cache(cfg: GPTJConfig, batch: int, max_len: int, dtype=jnp.float32) -> 
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
 
 
-def _forward_cached(params, cfg, inputs_embeds, cache, attend_len=None):
+def _forward_cached(params, cfg, inputs_embeds, cache):
     """Cache rides in the layer-scan carry with in-place slab writes — see
-    models/gpt2.py:_forward_cached for why (1.6x decode throughput).
-
-    attend_len (static, optional): read only the first attend_len cache
-    positions (caller guarantees cache.index + t <= attend_len); see
-    gpt2._forward_cached — bit-identical, skips the unwritten KV tail.
-    """
+    models/gpt2.py:_forward_cached for why (1.6x decode throughput)."""
     b, t, d = inputs_embeds.shape
     heads, dh = cfg.n_head, d // cfg.n_head
     rd = cfg.rotary_dim
-    max_len = cache.k.shape[2]
-    a_len = max_len if attend_len is None else min(int(attend_len), max_len)
+    a_len = cache.k.shape[2]
     idx = cache.index
     positions = idx + jnp.arange(t)
 
@@ -245,9 +239,9 @@ def prefill(params, cfg, inputs_embeds, cache):
     return _forward_cached(params, cfg, inputs_embeds, cache)
 
 
-def decode_step(params, cfg, token_embed, cache, attend_len=None):
+def decode_step(params, cfg, token_embed, cache):
     logits, cache = _forward_cached(
-        params, cfg, token_embed, cache, attend_len=attend_len
+        params, cfg, token_embed, cache
     )
     return logits[:, -1], cache
 
@@ -325,13 +319,11 @@ def _forward_cached_q8(
     cache: Int8KVCache,
     fresh: bool = False,
     full_logits: bool = False,
-    attend_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Int8KVCache]:
     b, t, d = inputs_embeds.shape
     heads, dh = cfg.n_head, d // cfg.n_head
     rd = cfg.rotary_dim
-    max_len = cache.k.shape[3]
-    a_len = max_len if attend_len is None else min(int(attend_len), max_len)
+    a_len = cache.k.shape[3]
     idx = cache.index
     eps = cfg.layer_norm_epsilon
     positions = idx + jnp.arange(t)
@@ -441,10 +433,9 @@ def decode_step_q8(
     cfg: GPTJConfig,
     token_embed: jnp.ndarray,
     cache: Int8KVCache,
-    attend_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Int8KVCache]:
     logits, cache = _forward_cached_q8(
-        params, cfg, token_embed, cache, attend_len=attend_len
+        params, cfg, token_embed, cache
     )
     return logits[:, -1], cache
 

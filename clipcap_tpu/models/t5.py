@@ -285,11 +285,9 @@ def init_cache(cfg: T5Config, batch: int, max_len: int, dtype=jnp.float32) -> KV
     )
 
 
-def _decoder_cached(params, cfg: T5Config, dec_embeds, cache: KVCache,
-                    attend_len=None):
+def _decoder_cached(params, cfg: T5Config, dec_embeds, cache: KVCache):
     b, t, d = dec_embeds.shape
-    max_len = cache.k.shape[2]
-    a_len = max_len if attend_len is None else min(int(attend_len), max_len)
+    a_len = cache.k.shape[2]
     idx = cache.index
     qpos = idx + jnp.arange(t)
     kpos = jnp.arange(a_len)
@@ -349,11 +347,8 @@ def prefill(params, cfg: T5Config, inputs_embeds, cache: KVCache,
     return _decoder_cached(params, cfg, inputs_embeds, cache)
 
 
-def decode_step(params, cfg: T5Config, token_embed, cache: KVCache,
-                attend_len=None):
-    logits, cache = _decoder_cached(
-        params, cfg, token_embed, cache, attend_len=attend_len
-    )
+def decode_step(params, cfg: T5Config, token_embed, cache: KVCache):
+    logits, cache = _decoder_cached(params, cfg, token_embed, cache)
     return logits[:, -1], cache
 
 

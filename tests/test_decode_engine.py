@@ -200,33 +200,14 @@ def test_statically_active_rejects_non_numeric():
         _statically_active(object())
 
 
-def test_attend_segmentation_bit_identical(lm_params):
-    """attend_quantum segmentation (read only the written KV prefix per
-    segment) must not change a single emitted token or length vs the
-    single-scan full-cache path — masked tail positions carry exactly-zero
-    softmax weight either way."""
-    embeds = jax.random.normal(jax.random.PRNGKey(11), (3, 6, CFG.n_embd))
-    base = dict(max_new_tokens=13, top_p=0.8, repetition_penalty=1.2,
-                eos_token_id=5, min_length=2)
-    seg = generate(gpt2, lm_params, CFG, embeds,
-                   GenerationSettings(**base, attend_quantum=4),
-                   rng=jax.random.PRNGKey(0))
-    full = generate(gpt2, lm_params, CFG, embeds,
-                    GenerationSettings(**base, attend_quantum=0),
-                    rng=jax.random.PRNGKey(0))
-    np.testing.assert_array_equal(np.asarray(seg["tokens"]), np.asarray(full["tokens"]))
-    np.testing.assert_array_equal(np.asarray(seg["lengths"]), np.asarray(full["lengths"]))
+def test_generation_settings_has_no_attend_quantum():
+    """The attend_quantum/attend_len KV-segmentation was REMOVED in r3
+    (measured 12% slower; see decode/engine.py NOTE). Guard against it
+    silently resurfacing as an accepted-but-ignored setting."""
+    import dataclasses
+    import pytest
 
-
-def test_decode_step_attend_len_matches_full(lm_params):
-    """gpt2.decode_step(attend_len=k) == decode_step() when k covers the
-    written cache positions."""
-    p = 6
-    embeds = jax.random.normal(jax.random.PRNGKey(12), (2, p, CFG.n_embd))
-    cache = gpt2.init_cache(CFG, batch=2, max_len=16)
-    logits, cache = gpt2.prefill(lm_params, CFG, embeds, cache)
-    tok = jnp.argmax(logits[:, -1], axis=-1)
-    emb = gpt2.embed_tokens(lm_params, tok)[:, None, :]
-    out_full, _ = gpt2.decode_step(lm_params, CFG, emb, cache)
-    out_seg, _ = gpt2.decode_step(lm_params, CFG, emb, cache, attend_len=p + 1)
-    np.testing.assert_array_equal(np.asarray(out_full), np.asarray(out_seg))
+    names = {f.name for f in dataclasses.fields(GenerationSettings)}
+    assert "attend_quantum" not in names
+    with pytest.raises(TypeError):
+        GenerationSettings(max_new_tokens=4, attend_quantum=4)

@@ -1,6 +1,6 @@
 """int8 weight-streaming GPT-J decode (models/gptj.py quantize_params /
-gptj_int8): numerics bounded against the f32 cached path, engine
-integration, and attend_len equivalence. GPT-J 6B streams ~12 GB bf16
+gptj_int8): numerics bounded against the f32 cached path and engine
+integration. GPT-J 6B streams ~12 GB bf16
 weights per token — this path halves the stream like gpt2's (which is
 speed-gated in bench.py); tests here gate accuracy and wiring.
 """
@@ -75,21 +75,6 @@ def test_int8_decode_steps_track_f32_greedy():
                  prefix.astype(jnp.bfloat16))
     agree = (ref == got).mean()
     assert agree >= 0.75, f"token agreement {agree}"
-
-
-def test_decode_step_q8_attend_len_matches_full():
-    params = _params()
-    q = gptj.quantize_params(params)
-    p = 6
-    embeds = (jax.random.normal(jax.random.PRNGKey(3), (2, p, CFG.n_embd)) * 0.1
-              ).astype(jnp.bfloat16)
-    cache = gptj.init_cache_q8(CFG, batch=2, max_len=16)
-    logits, cache = gptj.prefill_q8(q, CFG, embeds, cache)
-    tok = jnp.argmax(logits[:, -1], axis=-1)
-    emb = gptj.embed_tokens(q, tok)[:, None, :].astype(jnp.bfloat16)
-    full, _ = gptj.decode_step_q8(q, CFG, emb, cache)
-    seg, _ = gptj.decode_step_q8(q, CFG, emb, cache, attend_len=p + 1)
-    np.testing.assert_array_equal(np.asarray(full), np.asarray(seg))
 
 
 def test_engine_runs_gptj_int8_module():
