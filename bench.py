@@ -651,13 +651,43 @@ def _bench_native_loader(rows: int = 8192, prefix_dim: int = 512,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _train_matmul_flops(lm_cfg, map_cfg, batch: int, seq: int,
+                        prefix_only: bool) -> float:
+    """Analytic matmul FLOPs per training step (fwd + bwd).
+
+    Backward model: every fwd weight matmul costs 1x (dX) + 1x (dW) on the
+    way back; prefix-only training skips the LM/head dW terms
+    (stop_gradient at the source, train/train_step.py loss_fn) so the LM
+    backward is 1x fwd instead of 2x. Attention (no weights) costs 2x fwd
+    either way.
+    """
+    d, L, V = lm_cfg.n_embd, lm_cfg.n_layer, lm_cfg.vocab_size
+    p = map_cfg.prefix_length
+    T, B = p + seq, batch
+    lm_lin = 2.0 * B * T * 12 * d * d * L      # qkv + proj + 2 mlp matmuls
+    attn = 4.0 * B * T * T * d * L             # scores + weighted sum
+    head = 2.0 * B * seq * d * V               # logits_slice: seq positions
+    md, mT = map_cfg.dim_embedding, map_cfg.prefix_length + map_cfg.clip_length
+    mapper = 2.0 * B * mT * 12 * md * md * map_cfg.num_layers
+    lm_bwd_x = 2.0 if prefix_only else 3.0     # fwd + dX (+ dW if trained)
+    return (lm_lin + head) * lm_bwd_x + attn * 3.0 + mapper * 3.0
+
+
 def _bench_train_step(batch: int = 128, seq: int = 40,
                       lm_variant: str = "gpt2", prefix_only: bool = False,
-                      prefix_len: int = 10, iters: int = 5):
+                      prefix_len: int = 10, k_steps: int = 10, reps: int = 3):
     """Training-step throughput. Defaults = BASELINE config #1
     (ViT-B/32-prefix + GPT-2 small prefix training over precomputed
     shards); config #2 = gpt2-xl prefix_only (the reference's headline
-    training run, train.py:236-245). Returns (steps/sec, tokens/sec)."""
+    training run, train.py:236-245). Returns (steps/sec, tokens/sec, mfu).
+
+    k_steps train steps run inside ONE jit (lax.scan over the donated
+    state carry, constant batch — the carry changes every step so nothing
+    hoists) so the ~30 ms relay dispatch cost is amortized away and the
+    number is the DEVICE rate; one residual round-trip is subtracted.
+    MFU = analytic matmul FLOPs (_train_matmul_flops) / time / 175 TF/s
+    (this chip's measured bf16 peak, CLAUDE.md performance facts).
+    """
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -688,14 +718,25 @@ def _bench_train_step(batch: int = 128, seq: int = 40,
         "prefix": jnp.asarray(rng.normal(size=(batch, 512)).astype(np.float32)),
     }
 
-    state, metrics = step_fn(state, batch_data)  # compile
-    float(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step_fn(state, batch_data)
-    float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
-    return 1.0 / dt, batch * seq / dt
+    def many(st, _):
+        def body(st, _):
+            st, m = step_fn(st, batch_data)
+            return st, m["loss"]
+        return jax.lax.scan(body, st, None, length=k_steps)
+
+    many_j = jax.jit(many, donate_argnums=(0,))
+    state, losses = many_j(state, 0)
+    float(losses[-1])  # compile + settle
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, losses = many_j(state, 0)
+        float(losses[-1])
+        best = min(best, time.perf_counter() - t0)
+    dt = max(best - 0.030, 1e-9) / k_steps  # one relay round-trip total
+    flops = _train_matmul_flops(lm_cfg, map_cfg, batch, seq, prefix_only)
+    mfu = flops / dt / 175e12
+    return 1.0 / dt, batch * seq / dt, mfu
 
 
 def main():
@@ -744,12 +785,13 @@ def main():
     vit_ips = safe(_bench_vit_encode)
     prepro_ips = safe(_bench_preprocess_e2e)
     genb_ms = safe(_bench_genb_synthesis)
-    train_steps_s, train_tokens_s = safe(_bench_train_step, default=(None, None))
+    train_steps_s, train_tokens_s, train_mfu = safe(
+        _bench_train_step, default=(None, None, None))
     # config #2: the reference's headline training run — GPT2-XL,
     # prefix-only (mapper trains, LM frozen via stop_gradient)
-    xl_steps_s, _ = safe(
+    xl_steps_s, _, xl_mfu = safe(
         _bench_train_step, batch=64, lm_variant="gpt2-xl", prefix_only=True,
-        prefix_len=40, iters=3, default=(None, None),
+        prefix_len=40, k_steps=5, default=(None, None, None),
     )
     gptj6b_cps = safe(_bench_gptj_6b_int8, batch=256)
     t0_11b_cps = safe(_bench_t0_11b_int8_decode)
@@ -789,8 +831,11 @@ def main():
                     "genb_blip_synthesis_ms_per_image_40cand": rnd(genb_ms),
                     "train_step_config1_steps_per_sec": rnd(train_steps_s, 2),
                     "train_step_config1_tokens_per_sec": rnd(train_tokens_s),
+                    "train_step_config1_mfu": rnd(train_mfu, 3),
                     "train_step_config2_xl_prefix_only_steps_per_sec":
                         rnd(xl_steps_s, 2),
+                    "train_step_config2_xl_prefix_only_mfu": rnd(xl_mfu, 3),
+                    "train_mfu_note": "device rate (k-step scan, relay round-trip subtracted); MFU = analytic matmul FLOPs / 175 TF/s measured bf16 peak",
                     "single_caption_p50_latency_ms_int8": rnd(single_ms),
                     "gptj_6b_int8_captions_per_sec_b256": rnd(gptj6b_cps),
                     "t0_11b_int8_captions_per_sec_b64": rnd(t0_11b_cps),
