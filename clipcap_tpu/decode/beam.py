@@ -18,25 +18,36 @@ import jax
 import jax.numpy as jnp
 
 
-#: cache fields beam search cannot handle: cross-attention / encoder
-#: tensors stay at image-batch size while beam queries are beam_size-wide,
-#: so the models' attention einsums would fail at trace time (nothing in
-#: blip_text/t5 groups beams over shared K/V — that layout exists only via
-#: decoder_lm repeat=, which beam_search does not use).
-_CROSS_FIELDS = ("cross_k", "cross_v", "cross_bias", "enc_hidden", "enc_bias")
+#: cross-attention / encoder cache fields, with the axis their batch dim
+#: lives on. All beams decode the SAME image/prompt, so these tensors are
+#: replicated once across beams at expansion time and then left alone:
+#: every beam's row is identical, so reordering them by `source` would be
+#: a (costly) no-op — only the self-attention slabs follow beam reorder.
+_CROSS_FIELDS = {"cross_k": 1, "cross_v": 1, "cross_bias": 0,
+                 "enc_hidden": 0, "enc_bias": 0}
 
 
 def _map_beam_axis(cache, fn):
     """Apply fn to every SELF-attention cache slab that follows beam
     reordering (axis 1 of the stacked [L, B, ...] arrays): the bf16
     KVCache's k/v and the int8 caches' k/v/ks/vs scale slabs.
-
-    Beam search supports self-attention-only caches (gpt2/gptj, bf16 or
-    int8). Caches carrying cross-attention tensors (blip_text, t5) are
-    rejected up front in beam_search — see _CROSS_FIELDS."""
+    Cross-attention fields are beam-invariant (see _CROSS_FIELDS)."""
     upd = {name: fn(getattr(cache, name))
            for name in ("k", "v", "ks", "vs") if hasattr(cache, name)}
     return cache._replace(**upd)
+
+
+def _expand_beams(cache, beam_size: int):
+    """Replicate a batch-1 prefilled cache to beam_size rows: self-attn
+    slabs on their [L, B, ...] batch axis, cross/encoder fields on their
+    own batch axis (axis 0 or 1 per _CROSS_FIELDS)."""
+    cache = _map_beam_axis(cache, lambda x: jnp.repeat(x, beam_size, axis=1))
+    upd = {}
+    for name, axis in _CROSS_FIELDS.items():
+        val = getattr(cache, name, None)
+        if val is not None:
+            upd[name] = jnp.repeat(val, beam_size, axis=axis)
+    return cache._replace(**upd) if upd else cache
 
 
 def beam_search(
@@ -54,24 +65,25 @@ def beam_search(
 
     scores are the length-normalized log-probs used for the final ordering
     (reference inference.py:139-144); the best beam is argmax(scores).
+
+    Works for every protocol LM: self-attention caches (gpt2/gptj, bf16 or
+    int8) reorder their KV slabs per step; cross-attention caches
+    (t5 — the reference's T0 beam path, lms/T0.py — and the BLIP decoder
+    adapter) carry beam-invariant encoder tensors that are replicated once
+    (_expand_beams). Token-id adapters (`lm.takes_token_ids`, e.g.
+    blip_text.decoder_lm) get ids instead of embeddings, like
+    engine.generate; for those, `prompt_embeds` is the [1, P] int prompt.
     """
     if prompt_embeds.shape[0] != 1:
         raise ValueError("beam_search expects a single prompt (batch 1)")
+    token_mode = bool(getattr(lm, "takes_token_ids", False))
     p_len = prompt_embeds.shape[1]
     n = max_new_tokens
     temp = temperature if temperature > 0 else 1.0
 
-    cache = lm.init_cache(lm_cfg, batch=1, max_len=p_len + n, dtype=prompt_embeds.dtype)
-    present_cross = [f for f in _CROSS_FIELDS
-                     if getattr(cache, f, None) is not None]
-    if present_cross:
-        raise NotImplementedError(
-            "beam_search supports self-attention-only KV caches (gpt2/gptj, "
-            f"bf16 or int8); this cache carries cross-attention fields "
-            f"{present_cross} whose image-batch axis does not follow beam "
-            "reordering. Use decode/engine.generate (optionally with "
-            "decoder_lm repeat=) for BLIP/T5-style cross-attention decoders."
-        )
+    # token-id adapters pick their own cache dtype (from the image features)
+    cache_dtype = None if token_mode else prompt_embeds.dtype
+    cache = lm.init_cache(lm_cfg, batch=1, max_len=p_len + n, dtype=cache_dtype)
     if cache_constraint is not None:
         cache = cache_constraint(cache)
     logits, cache = lm.prefill(params, lm_cfg, prompt_embeds, cache)
@@ -88,14 +100,15 @@ def beam_search(
         else jnp.zeros((beam_size,), bool)
     )
 
-    # replicate the singleton cache across beams (batch axis of k/v is axis 1)
-    def rep(x):
-        return jnp.repeat(x, beam_size, axis=1) if x.ndim > 0 else x
+    # replicate the singleton cache across beams
+    cache = _expand_beams(cache, beam_size)
 
-    cache = _map_beam_axis(cache, rep)
+    def step_input(tok):
+        if token_mode:
+            return tok[:, None].astype(jnp.int32)
+        return lm.embed_tokens(params, tok)[:, None, :].astype(prompt_embeds.dtype)
 
-    embeds = lm.embed_tokens(params, first_tokens)[:, None, :].astype(prompt_embeds.dtype)
-    logits, cache = lm.decode_step(params, lm_cfg, embeds, cache)
+    logits, cache = lm.decode_step(params, lm_cfg, step_input(first_tokens), cache)
     vocab = logits.shape[-1]
 
     def step_fn(carry, step):
@@ -124,8 +137,7 @@ def beam_search(
         if stop_token_id is not None:
             has_stopped = has_stopped | (next_tok == stop_token_id)
 
-        embeds = lm.embed_tokens(params, next_tok)[:, None, :].astype(prompt_embeds.dtype)
-        logits, cache = lm.decode_step(params, lm_cfg, embeds, cache)
+        logits, cache = lm.decode_step(params, lm_cfg, step_input(next_tok), cache)
         return (cache, logits, tokens, scores, seq_lengths, has_stopped), None
 
     init = (cache, logits, tokens, scores, seq_lengths, has_stopped)
