@@ -6,6 +6,8 @@ reference train.py:276-289): a single `jax.sharding.Mesh` with named axes
 
     data   — data parallelism (the DDP equivalent; gradients are psum'd
              over this axis by XLA when the train step is pjit'ed)
+    pipe   — pipeline parallelism (layer-stack chunks, GPipe microbatch
+             schedule via shard_map + ppermute; parallel/pp.py)
     model  — tensor parallelism for big LMs (sharded attention heads /
              MLP width / vocab; used for GPT-J-class decode)
 
@@ -24,19 +26,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+PIPE_AXIS = "pipe"
 MODEL_AXIS = "model"
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshSpec:
-    """Logical mesh shape. `data * model` must equal the device count."""
+    """Logical mesh shape. `data * pipe * model` must equal the device
+    count. `pipe` sits between `data` and `model` so tensor-parallel
+    collectives stay on the innermost (fastest ICI) dimension."""
 
     data: int = 1
     model: int = 1
+    pipe: int = 1
 
     @property
     def axis_names(self) -> tuple:
-        return (DATA_AXIS, MODEL_AXIS)
+        return (DATA_AXIS, PIPE_AXIS, MODEL_AXIS)
 
 
 def make_mesh(
@@ -53,12 +59,13 @@ def make_mesh(
     devices = np.asarray(devices)
     if spec is None:
         spec = MeshSpec(data=devices.size, model=1)
-    if spec.data * spec.model != devices.size:
+    need = spec.data * spec.pipe * spec.model
+    if need != devices.size:
         raise ValueError(
-            f"mesh {spec.data}x{spec.model} needs {spec.data * spec.model} devices, "
+            f"mesh {spec.data}x{spec.pipe}x{spec.model} needs {need} devices, "
             f"have {devices.size}"
         )
-    device_grid = devices.reshape(spec.data, spec.model)
+    device_grid = devices.reshape(spec.data, spec.pipe, spec.model)
     return Mesh(device_grid, spec.axis_names)
 
 

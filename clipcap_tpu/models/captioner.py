@@ -59,9 +59,15 @@ def forward(
     mask: Optional[jnp.ndarray] = None,  # [B, T] text attention mask
     remat: bool = False,
     logits_slice=None,
+    lm_apply=None,
 ) -> jnp.ndarray:
     """Reference model.py:132-149. Returns logits [B, P+T, V] (or the
-    logits_slice positions of it — see gpt2.apply)."""
+    logits_slice positions of it — see gpt2.apply).
+
+    lm_apply: optional override for the LM forward — same contract as
+    lm.apply minus remat, e.g. parallel/pp.make_gpt2_pp_apply's pipelined
+    stack (which bakes remat in at construction).
+    """
     lm = get_lm(cfg.lm_type)
     embedding_text = lm.embed_tokens(params["lm"], tokens)
     prefix_projections = project_prefix(params, cfg, prefix).astype(embedding_text.dtype)
@@ -72,6 +78,9 @@ def forward(
     full_mask = jnp.concatenate(
         [jnp.ones(prefix_projections.shape[:-1], dtype=mask.dtype), mask], axis=1
     )
+    if lm_apply is not None:
+        return lm_apply(params["lm"], embedding_cat, attention_mask=full_mask,
+                        logits_slice=logits_slice)
     return lm.apply(params["lm"], lm_cfg, embedding_cat, attention_mask=full_mask,
                     remat=remat, logits_slice=logits_slice)
 
@@ -83,6 +92,7 @@ def caption_loss(
     tokens: jnp.ndarray,  # [B, T] int64, padded with -1
     prefix: jnp.ndarray,
     remat: bool = False,
+    lm_apply=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """The training_step CE loss (reference model.py:203-209).
 
@@ -98,7 +108,7 @@ def caption_loss(
     p = cfg.mapper.prefix_length
     total = p + tokens.shape[1]
     logits = forward(params, cfg, lm_cfg, tokens, prefix, mask, remat=remat,
-                     logits_slice=(p - 1, total - 1))
+                     logits_slice=(p - 1, total - 1), lm_apply=lm_apply)
 
     vocab = logits.shape[-1]
     logits_f = logits.astype(jnp.float32).reshape(-1, vocab)

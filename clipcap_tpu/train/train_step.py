@@ -77,6 +77,7 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     visual_cfg: Any = None,
+    lm_apply=None,
 ):
     """Build the jitted (state, batch) -> (state, metrics) function.
 
@@ -86,6 +87,8 @@ def make_train_step(
       runs inside the step (frozen via stop_gradient unless
       cap_cfg.train_visual_encoder, reference model.py:196-201).
     With accumulate_grad_batches > 1, arrays carry a leading [A] axis.
+    lm_apply: optional LM-forward override (models/captioner.forward),
+      e.g. parallel/pp.make_gpt2_pp_apply for pipeline-parallel training.
     """
 
     def encode_pixels(params, pixels):
@@ -132,7 +135,8 @@ def make_train_step(
         prefix = mb["prefix"] if "prefix" in mb else encode_pixels(fwd_params, mb["pixels"])
         prefix = prefix.astype(jnp.bfloat16) if train_cfg.bf16_compute else prefix
         loss, metrics = captioner.caption_loss(
-            fwd_params, cap_cfg, lm_cfg, mb["tokens"], prefix, remat=train_cfg.remat
+            fwd_params, cap_cfg, lm_cfg, mb["tokens"], prefix,
+            remat=train_cfg.remat, lm_apply=lm_apply,
         )
         return loss, metrics
 
