@@ -113,7 +113,9 @@ def test_bundle_enable_tensor_parallel():
     bundle = CaptionerBundle(params=params, cap_cfg=cap_cfg, lm_cfg=CFG,
                              tokenizer=_Tok())
     mesh = bundle.enable_tensor_parallel(4)
-    assert dict(mesh.shape) == {"data": 2, "model": 4}
+    shape = dict(mesh.shape)
+    assert shape["data"] == 2 and shape["model"] == 4
+    assert shape.get("pipe", 1) == 1  # decode meshes never split layers
     assert bundle.cache_constraint is not None
     w_in = bundle.params["lm"]["blocks"]["mlp"]["w_in"]
     assert w_in.sharding.shard_shape(w_in.shape)[2] == (4 * CFG.n_embd) // 4
