@@ -156,7 +156,7 @@ def _bench_engine_default(cfg, params, batch: int = 2 * BATCH):
             median(run_pipeline, map_params, params_q, clip_embed))
 
 
-def _bench_preprocess_e2e(n_images: int = 384, batch: int = 128,
+def _bench_preprocess_e2e(n_images: int = 1536, batch: int = 128,
                           workers: int = 4, image_px: int = 256) -> float:
     """END-TO-END preprocessing: synthetic webdataset tar (real JPEGs) ->
     host decode + resize -> device normalize + ViT-B/32 encode -> npy
@@ -827,7 +827,7 @@ def main():
                     "vit_b32_encode_vs_10k_target": rnd(vit_ips and vit_ips / 10000.0, 3),
                     "preprocess_e2e_images_per_sec": rnd(prepro_ips),
                     "preprocess_e2e_workers": 4,
-                    "preprocess_e2e_note": "host-bound on this 1-core box (JPEG decode); device encode is the line above",
+                    "preprocess_e2e_note": "tar -> native libjpeg decode (DCT prescale) -> uint8 upload -> device normalize+encode -> npy shards; host-decode-bound on this 1-core box, device encode is the line above",
                     "genb_blip_synthesis_ms_per_image_40cand": rnd(genb_ms),
                     "train_step_config1_steps_per_sec": rnd(train_steps_s, 2),
                     "train_step_config1_tokens_per_sec": rnd(train_tokens_s),

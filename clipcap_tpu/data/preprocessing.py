@@ -59,6 +59,25 @@ def clip_preprocess(image, image_size: int = 224, do_normalize: bool = True) -> 
     return normalize(arr) if do_normalize else arr
 
 
+def clip_preprocess_u8(image, image_size: int = 224) -> np.ndarray:
+    """:func:`clip_preprocess` geometry -> CHW uint8 (no float pass).
+
+    Exactly equivalent to ``clip_preprocess(..., do_normalize=False)*255``:
+    PIL's resize output is uint8, so skipping the /255 float conversion is
+    lossless. This is the host->device transfer dtype of tools/preprocess
+    (the axon relay caps upload bodies; uint8 quarters them).
+    """
+    image = image.convert("RGB")
+    w, h = image.size
+    scale = image_size / min(w, h)
+    new_w, new_h = round(w * scale), round(h * scale)
+    image = image.resize((new_w, new_h), _BICUBIC)
+    left = (new_w - image_size) // 2
+    top = (new_h - image_size) // 2
+    image = image.crop((left, top, left + image_size, top + image_size))
+    return np.asarray(image, np.uint8).transpose(2, 0, 1)
+
+
 def normalize_on_device(pixels):
     """jnp normalize for device-side fusion (pixels [..., 3, H, W] in 0..1)."""
     import jax.numpy as jnp
