@@ -124,6 +124,102 @@ def _statically_active(x) -> bool:
     return bool((arr != 0).any())
 
 
+def filter_and_sample(
+    settings: GenerationSettings,
+    logits: jnp.ndarray,  # [B, V] f32, post rep-penalty / EOS suppression
+    top_k: jnp.ndarray,  # [B]
+    top_p: jnp.ndarray,  # [B]
+    typ_p: jnp.ndarray,  # [B]
+    sample_key: jax.Array,
+    step,  # scalar step counter (sentence-length penalty input)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Temperature -> filters -> sample: the per-step logits pipeline.
+
+    Shared by generate() and the continuous-batching ServingEngine
+    (decode/serving.py) so both run the identical filter semantics and the
+    identical fused-Pallas/threshold/sort path selection. Returns
+    (next_token, alt_token, alt_prob), each [B] (alt_prob is zeros unless
+    min_alternate_prob is active on the sampled path).
+    """
+    b = logits.shape[0]
+    t = settings.temperature
+    logits = logits / (t if t > 0 else 1.0)
+    topk_active = _statically_active(settings.top_k)
+    topp_active = _statically_active(settings.top_p)
+    typp_active = _statically_active(settings.typ_p)
+    slp_active = (
+        settings.desired_sentence_length > 0
+        and settings.stop_token_id is not None
+    )
+    want_alt = (not settings.greedy) and settings.min_alternate_prob > 0
+    # fused Pallas path: filter + Gumbel top-2 sampling in one kernel
+    # (ops/pallas/fused_sampler.py). Only for the sampled path on TPU
+    # with no typical filter and no sentence-length penalty (both sit
+    # between filtering and sampling in the reference order).
+    use_fused = (
+        settings.filter_method == "fused"
+        and not settings.greedy
+        and not typp_active
+        and not slp_active
+        and jax.default_backend() == "tpu"
+    )
+
+    if use_fused:
+        from ..ops.pallas.fused_sampler import fused_filter_sample
+
+        seed = jax.random.randint(
+            sample_key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        )
+        next_token, alt_token, alt_prob = fused_filter_sample(
+            logits, top_k, top_p, seed,
+            do_topk=topk_active, do_topp=topp_active,
+            want_alt_prob=want_alt,
+        )
+        return (next_token.astype(jnp.int32), alt_token.astype(jnp.int32),
+                alt_prob)
+
+    # static gating: skip filters whose settings are Python-level
+    # zeros — each active filter costs full-vocab passes per step
+    threshold_filters = settings.filter_method != "sort"
+    if topk_active or topp_active:
+        if threshold_filters:
+            logits = S.top_k_top_p_filter_threshold(logits, top_k, top_p)
+        else:
+            logits = S.top_k_top_p_filter(
+                logits, top_k, top_p, prefilter_k=settings.vocab_prefilter
+            )
+    if typp_active:
+        if threshold_filters:
+            logits = S.typical_filter_threshold(logits, typ_p)
+        else:
+            logits = S.typical_filter(logits, typ_p)
+
+    if slp_active:
+        logits = S.sentence_length_penalty(
+            logits,
+            settings.stop_token_id,
+            current_length=step,
+            desired_length=settings.desired_sentence_length,
+            length_factor=settings.sentence_length_factor,
+        )
+
+    if settings.greedy:
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        alt_token = next_token
+        alt_prob = jnp.zeros((b,), jnp.float32)
+    else:
+        samples = S.sample_categorical(sample_key, logits, num_samples=2)
+        next_token, alt_token = samples[:, 0], samples[:, 1]
+        if want_alt:
+            probs = jax.nn.softmax(logits, axis=-1)
+            alt_prob = jnp.take_along_axis(
+                probs, alt_token[:, None], axis=-1
+            )[:, 0]
+        else:
+            alt_prob = jnp.zeros((b,), jnp.float32)
+    return next_token, alt_token, alt_prob
+
+
 def generate(
     lm: Any,  # LM module implementing the lm/registry protocol
     params: dict,
@@ -208,81 +304,9 @@ def generate(
                 logits, hist, settings.repetition_penalty, tokens_valid=hist_valid
             )
 
-        t = settings.temperature
-        logits = logits / (t if t > 0 else 1.0)
-        topk_active = _statically_active(settings.top_k)
-        topp_active = _statically_active(settings.top_p)
-        typp_active = _statically_active(settings.typ_p)
-        slp_active = (
-            settings.desired_sentence_length > 0
-            and settings.stop_token_id is not None
+        next_token, alt_token, alt_prob = filter_and_sample(
+            settings, logits, top_k, top_p, typ_p, sample_key, step
         )
-        want_alt = (not settings.greedy) and settings.min_alternate_prob > 0
-        # fused Pallas path: filter + Gumbel top-2 sampling in one kernel
-        # (ops/pallas/fused_sampler.py). Only for the sampled path on TPU
-        # with no typical filter and no sentence-length penalty (both sit
-        # between filtering and sampling in the reference order).
-        use_fused = (
-            settings.filter_method == "fused"
-            and not settings.greedy
-            and not typp_active
-            and not slp_active
-            and jax.default_backend() == "tpu"
-        )
-
-        if use_fused:
-            from ..ops.pallas.fused_sampler import fused_filter_sample
-
-            seed = jax.random.randint(
-                sample_key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
-            )
-            next_token, alt_token, alt_prob = fused_filter_sample(
-                logits, top_k, top_p, seed,
-                do_topk=topk_active, do_topp=topp_active,
-                want_alt_prob=want_alt,
-            )
-            next_token = next_token.astype(jnp.int32)
-            alt_token = alt_token.astype(jnp.int32)
-        else:
-            # static gating: skip filters whose settings are Python-level
-            # zeros — each active filter costs full-vocab passes per step
-            threshold_filters = settings.filter_method != "sort"
-            if topk_active or topp_active:
-                if threshold_filters:
-                    logits = S.top_k_top_p_filter_threshold(logits, top_k, top_p)
-                else:
-                    logits = S.top_k_top_p_filter(
-                        logits, top_k, top_p, prefilter_k=settings.vocab_prefilter
-                    )
-            if typp_active:
-                if threshold_filters:
-                    logits = S.typical_filter_threshold(logits, typ_p)
-                else:
-                    logits = S.typical_filter(logits, typ_p)
-
-            if slp_active:
-                logits = S.sentence_length_penalty(
-                    logits,
-                    settings.stop_token_id,
-                    current_length=step,
-                    desired_length=settings.desired_sentence_length,
-                    length_factor=settings.sentence_length_factor,
-                )
-
-            if settings.greedy:
-                next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                alt_token = next_token
-                alt_prob = jnp.zeros((b,), jnp.float32)
-            else:
-                samples = S.sample_categorical(sample_key, logits, num_samples=2)
-                next_token, alt_token = samples[:, 0], samples[:, 1]
-                if want_alt:
-                    probs = jax.nn.softmax(logits, axis=-1)
-                    alt_prob = jnp.take_along_axis(
-                        probs, alt_token[:, None], axis=-1
-                    )[:, 0]
-                else:
-                    alt_prob = jnp.zeros((b,), jnp.float32)
 
         # ---- completion logic -------------------------------------------------
         completed = jnp.zeros((b,), bool)

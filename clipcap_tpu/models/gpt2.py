@@ -156,6 +156,29 @@ def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.float32) -> 
     )
 
 
+def _ring_layout(idx, a_len, ring_start):
+    """Ring-cache write slot + per-row attention bias.
+
+    Continuous-batching decode (decode/serving.py) treats the cache's time
+    axis as a ring of size T written at `idx % T` — the write stays ONE
+    dynamic_update_slice slab per layer (the measured-fast layout; see
+    _forward_cached docstring) even though every slot is at a different
+    point in its own request. Each ring position p holds the K/V of global
+    timestep gp(p) = idx - ((idx - p) mod T) (the write of the CURRENT
+    token at idx is included: gp(idx % T) == idx); row b may attend p iff
+    gp(p) >= ring_start[b], its request's first claimed timestep. Never-
+    written positions have gp < 0 < ring_start. Causality needs no extra
+    term: the ring only ever holds timesteps <= idx.
+    """
+    # floor-mod (jnp.mod), NOT lax.rem: before the first wrap idx - p is
+    # negative for never-written positions p > idx, and truncated rem would
+    # give them gp == p >= start — attending zero-K/V garbage
+    wslot = jnp.mod(idx, a_len)
+    gp = idx - jnp.mod(idx - jnp.arange(a_len), a_len)
+    bias = jnp.where(gp[None, :] >= ring_start[:, None], 0.0, NEG_INF)  # [B, T]
+    return wslot, bias
+
+
 def _forward_cached(
     params: dict,
     cfg: GPT2Config,
@@ -163,6 +186,7 @@ def _forward_cached(
     cache: KVCache,
     fresh: bool = False,
     full_logits: bool = True,
+    ring: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # (pos [B], start [B])
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Shared prefill/step forward writing into the fixed-shape cache.
 
@@ -194,16 +218,30 @@ def _forward_cached(
     a_len = cache.k.shape[2]
     idx = cache.index
 
-    positions = idx + jnp.arange(t)
-    x = inputs_embeds + jnp.take(params["wpe"], positions, axis=0)[None].astype(
-        inputs_embeds.dtype
-    )
+    if ring is not None:
+        if t != 1:
+            raise ValueError("ring mode is decode-only (t == 1); refills prefill "
+                             "a fresh small cache and scatter_refill it in")
+        ring_pos, ring_start = ring
+        wslot, ring_bias = _ring_layout(idx, a_len, ring_start)
+        # per-row logical positions: each serving slot is at its own point
+        x = inputs_embeds + jnp.take(params["wpe"], ring_pos, axis=0)[
+            :, None
+        ].astype(inputs_embeds.dtype)
+    else:
+        wslot = idx
+        positions = idx + jnp.arange(t)
+        x = inputs_embeds + jnp.take(params["wpe"], positions, axis=0)[None].astype(
+            inputs_embeds.dtype
+        )
 
     if fresh and t > 1:
         # prefill bias over this call's keys only
         qi = jnp.arange(t)[:, None]
         ki = jnp.arange(t)[None, :]
         bias = jnp.where(ki <= qi, 0.0, NEG_INF)[None, None]  # [1,1,T,T]
+    elif ring is not None:
+        bias = ring_bias  # [B, a_len]
     else:
         # causal-over-cache bias: query at position idx+i attends keys <= it
         qpos = idx + jnp.arange(t)[:, None]  # [T, 1]
@@ -220,10 +258,10 @@ def _forward_cached(
         k = k.reshape(b, t, h_heads, dh)
         v = v.reshape(b, t, h_heads, dh)
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k[None].astype(k_cache.dtype), (l, 0, idx, 0, 0)
+            k_cache, k[None].astype(k_cache.dtype), (l, 0, wslot, 0, 0)
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v[None].astype(v_cache.dtype), (l, 0, idx, 0, 0)
+            v_cache, v[None].astype(v_cache.dtype), (l, 0, wslot, 0, 0)
         )
         if fresh and t > 1:
             attn = dot_product_attention(q, k, v, bias=bias).reshape(b, t, d)
@@ -234,7 +272,8 @@ def _forward_cached(
             scores = jnp.einsum(
                 "bhd,bthd->bht", q1, keys, preferred_element_type=jnp.float32
             ) * (dh**-0.5)
-            scores = scores + bias[:, 0, 0, :][:, None, :]
+            step_bias = bias if ring is not None else bias[:, 0, 0, :]
+            scores = scores + step_bias[:, None, :]
             w = jax.nn.softmax(scores, axis=-1).astype(vals.dtype)
             attn = jnp.einsum("bht,bthd->bhd", w, vals).reshape(b, 1, d)
         else:
@@ -291,6 +330,55 @@ def decode_step(
         params, cfg, token_embed, cache, fresh=False, full_logits=False,
     )
     return logits[:, -1], cache
+
+
+def decode_step_ring(
+    params: dict,
+    cfg: GPT2Config,
+    token_embed: jnp.ndarray,  # [B, 1, D]
+    cache: KVCache,
+    pos: jnp.ndarray,  # [B] int32 logical position of this token in its request
+    start: jnp.ndarray,  # [B] int32 global timestep of the row's window start
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Ring-cache decode step for continuous batching (decode/serving.py).
+
+    cache.index is the GLOBAL step counter; the slab write lands at
+    index % maxT and row b attends exactly its own request's window
+    [start[b], index] (see _ring_layout). Requires
+    maxT >= prefix_len + max_new_tokens + 1: the write at `index`
+    overwrites the entry from timestep index - maxT, which the
+    longest-lived row still needs this step at equality.
+    """
+    logits, cache = _forward_cached(
+        params, cfg, token_embed, cache, fresh=False, full_logits=False,
+        ring=(pos, start),
+    )
+    return logits[:, -1], cache
+
+
+def scatter_refill(
+    cache: KVCache, small: KVCache, slots: jnp.ndarray
+) -> KVCache:
+    """Write a freshly prefilled R-row small cache into ring-cache rows.
+
+    `small` comes from a standard prefill (init_cache(batch=R, max_len=P)
+    + prefill) of the new requests' prefixes; its P entries claim global
+    timesteps [index - P, index - 1], i.e. ring slots
+    (index - P + i) % maxT — exactly the window _ring_layout grants a row
+    with start = index - P. Rows are gathered, updated at the ring
+    positions, and scattered back (R is small; the row copy is cheap next
+    to a decode step).
+    """
+    p = small.k.shape[2]
+    a_len = cache.k.shape[2]
+    rp = jnp.mod(cache.index - p + jnp.arange(p), a_len)
+    k_rows = cache.k[:, slots].at[:, :, rp].set(small.k.astype(cache.k.dtype))
+    v_rows = cache.v[:, slots].at[:, :, rp].set(small.v.astype(cache.v.dtype))
+    return KVCache(
+        k=cache.k.at[:, slots].set(k_rows),
+        v=cache.v.at[:, slots].set(v_rows),
+        index=cache.index,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -378,6 +466,7 @@ def _forward_cached_q8(
     cache: Int8KVCache,
     fresh: bool = False,
     full_logits: bool = False,
+    ring: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # (pos [B], start [B])
 ) -> Tuple[jnp.ndarray, Int8KVCache]:
     b, t, d = inputs_embeds.shape
     h_heads, dh = cfg.n_head, d // cfg.n_head
@@ -385,16 +474,26 @@ def _forward_cached_q8(
     idx = cache.index
     eps = cfg.layer_norm_epsilon
 
-    positions = idx + jnp.arange(t)
-    x = inputs_embeds.astype(jnp.bfloat16) + jnp.take(
-        params["wpe"], positions, axis=0
-    )[None]
+    if ring is not None:
+        if t != 1:
+            raise ValueError("ring mode is decode-only (t == 1)")
+        ring_pos, ring_start = ring
+        wslot, step_bias = _ring_layout(idx, a_len, ring_start)  # bias [B, T]
+        x = inputs_embeds.astype(jnp.bfloat16) + jnp.take(
+            params["wpe"], ring_pos, axis=0
+        )[:, None]
+    else:
+        wslot = idx
+        positions = idx + jnp.arange(t)
+        x = inputs_embeds.astype(jnp.bfloat16) + jnp.take(
+            params["wpe"], positions, axis=0
+        )[None]
 
     if fresh and t > 1:
         qi = jnp.arange(t)[:, None]
         ki = jnp.arange(t)[None, :]
         prefill_bias = jnp.where(ki <= qi, 0.0, NEG_INF)[None, None]
-    else:
+    elif ring is None:
         kpos = jnp.arange(a_len)[None, :]
         step_bias = jnp.where(kpos <= idx + t - 1, 0.0, NEG_INF)  # [1, a_len]
 
@@ -412,16 +511,16 @@ def _forward_cached_q8(
         k8, sk = quantize_rows(k)  # sk [B,T,H,1]
         v8, sv = quantize_rows(v)
         kc = jax.lax.dynamic_update_slice(
-            kc, k8.transpose(0, 2, 1, 3)[None], (l, 0, 0, idx, 0)
+            kc, k8.transpose(0, 2, 1, 3)[None], (l, 0, 0, wslot, 0)
         )
         vc = jax.lax.dynamic_update_slice(
-            vc, v8.transpose(0, 2, 1, 3)[None], (l, 0, 0, idx, 0)
+            vc, v8.transpose(0, 2, 1, 3)[None], (l, 0, 0, wslot, 0)
         )
         ksc = jax.lax.dynamic_update_slice(
-            ksc, sk[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, idx)
+            ksc, sk[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, wslot)
         )
         vsc = jax.lax.dynamic_update_slice(
-            vsc, sv[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, idx)
+            vsc, sv[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, wslot)
         )
 
         if fresh and t > 1:
@@ -491,6 +590,41 @@ def decode_step_q8(
     return logits[:, -1], cache
 
 
+def decode_step_ring_q8(
+    params: dict,
+    cfg: GPT2Config,
+    token_embed: jnp.ndarray,
+    cache: Int8KVCache,
+    pos: jnp.ndarray,  # [B] int32
+    start: jnp.ndarray,  # [B] int32
+) -> Tuple[jnp.ndarray, Int8KVCache]:
+    """int8 ring-cache decode step — see decode_step_ring."""
+    logits, cache = _forward_cached_q8(
+        params, cfg, token_embed, cache, ring=(pos, start)
+    )
+    return logits[:, -1], cache
+
+
+def scatter_refill_q8(
+    cache: Int8KVCache, small: Int8KVCache, slots: jnp.ndarray
+) -> Int8KVCache:
+    """int8 scatter_refill; the head-major layout puts time on axis 3."""
+    p = small.k.shape[3]
+    a_len = cache.k.shape[3]
+    rp = jnp.mod(cache.index - p + jnp.arange(p), a_len)
+
+    def put(big, sm):
+        rows = big[:, slots]
+        rows = rows.at[:, :, :, rp].set(sm)
+        return big.at[:, slots].set(rows)
+
+    return Int8KVCache(
+        k=put(cache.k, small.k), v=put(cache.v, small.v),
+        ks=put(cache.ks, small.ks), vs=put(cache.vs, small.vs),
+        index=cache.index,
+    )
+
+
 class _Int8Module:
     """lm/registry-protocol adapter for the int8 decode path.
 
@@ -502,6 +636,8 @@ class _Int8Module:
     init_cache = staticmethod(init_cache_q8)
     prefill = staticmethod(prefill_q8)
     decode_step = staticmethod(decode_step_q8)
+    decode_step_ring = staticmethod(decode_step_ring_q8)
+    scatter_refill = staticmethod(scatter_refill_q8)
     embed_tokens = staticmethod(embed_tokens)
     embedding_size = staticmethod(embedding_size)
 

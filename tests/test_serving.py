@@ -1,0 +1,131 @@
+"""Continuous-batching serving engine (decode/serving.py).
+
+The contract: serving a request through a slot — at ANY point in the ring
+cache's life, after any number of refills and wraps — produces exactly the
+tokens the static engine produces for that request alone. Greedy f32 on
+CPU makes that comparison token-exact; the sampled path is pinned by
+replaying the identical rng stream through both engines.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clipcap_tpu.core.config import GPT2Config
+from clipcap_tpu.decode import GenerationSettings, generate
+from clipcap_tpu.decode.serving import Request, ServingEngine
+from clipcap_tpu.models import gpt2
+
+CFG = GPT2Config(vocab_size=96, n_positions=96, n_embd=32, n_layer=2, n_head=4)
+P = 5  # prefix length
+EOS = 7
+
+
+def _requests(n, seed=0, caps=None):
+    rng = np.random.default_rng(seed)
+    return [
+        Request(
+            request_id=f"r{i}",
+            prefix_embeds=rng.normal(size=(P, CFG.n_embd)).astype(np.float32),
+            max_length=None if caps is None else caps[i],
+        )
+        for i in range(n)
+    ]
+
+
+def _engine_single(lm, params, req, settings, rng=None):
+    """Static-engine reference for one request."""
+    if req.max_length is not None:
+        settings = dataclasses.replace(settings, max_length=req.max_length)
+    out = generate(
+        lm, params, CFG, jnp.asarray(req.prefix_embeds)[None], settings, rng=rng
+    )
+    toks, length, stopped = jax.device_get(
+        (out["tokens"][0], out["lengths"][0], out["stopped"][0])
+    )
+    return [int(t) for t in toks[: int(length)]], bool(stopped)
+
+
+SETTINGS = GenerationSettings(max_new_tokens=12, greedy=True, eos_token_id=EOS)
+
+
+def test_serving_no_refill_matches_engine_batch():
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    reqs = _requests(4, seed=1)
+    eng = ServingEngine(gpt2, CFG, prefix_len=P, settings=SETTINGS, slots=4,
+                        steps_per_sync=5, dtype=jnp.float32)
+    got = eng.serve(reqs, params)
+
+    prompts = jnp.asarray(np.stack([r.prefix_embeds for r in reqs]))
+    ref = generate(gpt2, params, CFG, prompts, SETTINGS)
+    toks, lens, stopped = jax.device_get(
+        (ref["tokens"], ref["lengths"], ref["stopped"])
+    )
+    for i, req in enumerate(reqs):
+        want = [int(t) for t in toks[i, : int(lens[i])]]
+        assert got[req.request_id]["tokens"] == want, req.request_id
+        assert got[req.request_id]["stopped"] == bool(stopped[i])
+
+
+@pytest.mark.parametrize("int8", [False, True], ids=["bf16path", "int8"])
+def test_serving_refill_and_ring_wrap_match_individual_runs(int8):
+    """2 slots, 7 requests with staggered caps: slots refill repeatedly and
+    the global index wraps the ring several times (ring = P+12+1 = 18,
+    total steps > 40). Every request must match its solo static-engine run."""
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    lm = gpt2
+    if int8:
+        params = gpt2.quantize_params(params)
+        lm = gpt2.gpt2_int8
+    caps = [3, 9, 5, 12, 7, 4, 2]
+    reqs = _requests(7, seed=2, caps=caps)
+    eng = ServingEngine(lm, CFG, prefix_len=P, settings=SETTINGS, slots=2,
+                        steps_per_sync=3,
+                        dtype=jnp.bfloat16 if int8 else jnp.float32)
+    got = eng.serve(reqs, params)
+    assert set(got) == {r.request_id for r in reqs}
+    for req in reqs:
+        want, want_stopped = _engine_single(lm, params, req, SETTINGS)
+        assert got[req.request_id]["tokens"] == want, req.request_id
+        assert got[req.request_id]["stopped"] == want_stopped
+
+
+def test_serving_sampled_path_matches_engine_rng_stream():
+    """Same initial rng + no refills => the serving chunk scan consumes the
+    identical per-step rng stream as engine.generate: sampled tokens (threshold
+    filters on CPU) must match token-for-token."""
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    settings = dataclasses.replace(
+        SETTINGS, greedy=False, top_p=0.9, top_k=11, repetition_penalty=1.2,
+        temperature=0.9,
+    )
+    reqs = _requests(3, seed=3)
+    eng = ServingEngine(gpt2, CFG, prefix_len=P, settings=settings, slots=3,
+                        steps_per_sync=4, dtype=jnp.float32)
+    got = eng.serve(reqs, params, rng=jax.random.PRNGKey(42))
+
+    prompts = jnp.asarray(np.stack([r.prefix_embeds for r in reqs]))
+    ref = generate(gpt2, params, CFG, prompts, settings,
+                   rng=jax.random.PRNGKey(42))
+    toks, lens = jax.device_get((ref["tokens"], ref["lengths"]))
+    for i, req in enumerate(reqs):
+        want = [int(t) for t in toks[i, : int(lens[i])]]
+        assert got[req.request_id]["tokens"] == want
+
+
+def test_serving_rejects_unsupported_settings():
+    with pytest.raises(ValueError, match="sentence-length"):
+        ServingEngine(gpt2, CFG, prefix_len=P, slots=2,
+                      settings=dataclasses.replace(
+                          SETTINGS, desired_sentence_length=10, stop_token_id=5))
+    with pytest.raises(ValueError, match="per-row top_p"):
+        ServingEngine(gpt2, CFG, prefix_len=P, slots=2,
+                      settings=dataclasses.replace(
+                          SETTINGS, top_p=np.array([0.9, 0.8])))
+    with pytest.raises(TypeError, match="ring decode"):
+        from clipcap_tpu.models import t5
+
+        ServingEngine(t5, None, prefix_len=P, slots=2, settings=SETTINGS)
