@@ -28,6 +28,7 @@ the short ViT encode pipelines several calls and syncs once.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
@@ -591,6 +592,89 @@ def _bench_speculative(g: int = 4) -> dict:
     }
 
 
+def _bench_serving(cfg, params, slots: int = 2 * BATCH,
+                   n_requests: int = 2048) -> dict:
+    """Continuous batching (decode/serving.py) vs the static engine on a
+    variable-length workload: n_requests with per-request length caps
+    uniform in [8, NEW_TOKENS], GPT2-XL int8, reference-default sampling
+    (scalar top_p + repetition penalty, fused Pallas filter+sampler).
+
+    The static engine pays NEW_TOKENS steps per batch regardless of where
+    rows stop; serving refills finished slots from the queue, so its cost
+    tracks the MEAN cap. Prefixes live in a device-resident pool (the
+    production shape — mapper output stays on device), so refills gather
+    rather than upload. Trajectories are deterministic (fixed rngs), so
+    the timed second run replays the first's executable mix."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from clipcap_tpu.decode import engine
+    from clipcap_tpu.decode.serving import Request, ServingEngine
+    from clipcap_tpu.models import gpt2
+
+    params_q = jax.jit(gpt2.quantize_params)(params)
+    pool = jax.random.normal(
+        jax.random.PRNGKey(5), (n_requests, PREFIX_LEN, cfg.n_embd), jnp.bfloat16
+    )
+    host_rng = np.random.default_rng(0)
+    caps = host_rng.integers(8, NEW_TOKENS + 1, n_requests).astype(np.int32)
+
+    settings = engine.GenerationSettings(
+        max_new_tokens=NEW_TOKENS,
+        top_p=0.8,
+        repetition_penalty=1.2,
+        eos_token_id=50256,
+        stop_token_id=13,
+    )
+
+    serv = ServingEngine(
+        gpt2.gpt2_int8, cfg, prefix_len=PREFIX_LEN, settings=settings,
+        slots=slots, refill_size=64, steps_per_sync=16,
+    )
+    reqs = [Request(i, i, max_length=int(caps[i])) for i in range(n_requests)]
+
+    def run_serving():
+        return serv.serve(reqs, params_q, rng=jax.random.PRNGKey(0),
+                          prefix_pool=pool)
+
+    # ---- static baseline: same requests in slot-sized batches, per-row
+    # max_length vectors (the engine supports those), full scan per batch
+    @jax.jit
+    def run_static_batch(params_q, prefix, max_len_rows):
+        out = engine.generate(
+            gpt2.gpt2_int8, params_q, cfg, prefix,
+            dataclasses.replace(settings, max_length=max_len_rows),
+            rng=jax.random.PRNGKey(0),
+        )
+        return jnp.sum(out["tokens"]) + jnp.sum(out["lengths"])
+
+    def run_static():
+        for i in range(0, n_requests, slots):
+            float(run_static_batch(params_q, pool[i:i + slots],
+                                   jnp.asarray(caps[i:i + slots])))
+
+    run_serving()  # compile (init/chunk/refill-size executables)
+    t0 = time.perf_counter()
+    results = run_serving()
+    t_serving = time.perf_counter() - t0
+    assert len(results) == n_requests
+
+    run_static()  # compile
+    t0 = time.perf_counter()
+    run_static()
+    t_static = time.perf_counter() - t0
+
+    return {
+        "serving_captions_per_sec": round(n_requests / t_serving, 1),
+        "static_engine_captions_per_sec": round(n_requests / t_static, 1),
+        "speedup": round(t_static / t_serving, 3),
+        "slots": slots,
+        "cap_range": [8, NEW_TOKENS],
+        "n_requests": n_requests,
+    }
+
+
 def _bench_single_caption_latency(cfg, params) -> float:
     """Serving latency: ONE caption (batch 1, int8 path) end to end —
     prefill + 32 greedy steps. BASELINE.md asks for p50 latency alongside
@@ -796,6 +880,7 @@ def main():
     gptj6b_cps = safe(_bench_gptj_6b_int8, batch=256)
     t0_11b_cps = safe(_bench_t0_11b_int8_decode)
     spec = safe(_bench_speculative)
+    serving = safe(_bench_serving, cfg, params)
     loader_rows_s = safe(_bench_native_loader)
 
     # null (not 0.0) when the headline phase failed: a trend reader must
@@ -840,6 +925,7 @@ def main():
                     "gptj_6b_int8_captions_per_sec_b256": rnd(gptj6b_cps),
                     "t0_11b_int8_captions_per_sec_b64": rnd(t0_11b_cps),
                     "speculative_b1_gpt2xl": spec,
+                    "serving_continuous_batching": serving,
                     "native_shard_loader_rows_per_sec": rnd(loader_rows_s),
                 },
             }

@@ -175,6 +175,23 @@ class CaptionerBundle:
         return (self._int8_lm_params if self._int8_lm_params is not None
                 else self.params["lm"])
 
+    def make_serving_engine(self, settings, slots: int = 256, **kw):
+        """Continuous-batching engine over this bundle's decode LM.
+
+        Returns a decode.serving.ServingEngine bound to lm_decode (int8
+        when enabled); drive it with `eng.serve(requests,
+        bundle.lm_decode_params, prefix_pool=...)` where the pool rows are
+        project_prefix outputs. Requires a ring-capable LM (GPT-2 today —
+        see decode/serving.py).
+        """
+        from ..decode.serving import ServingEngine
+
+        return ServingEngine(
+            self.lm_decode, self.lm_cfg,
+            prefix_len=self.cap_cfg.mapper.prefix_length,
+            settings=settings, slots=slots, **kw,
+        )
+
     # --- visual ---------------------------------------------------------------
 
     def encode_image(self, pixels: jnp.ndarray) -> jnp.ndarray:

@@ -116,6 +116,51 @@ def test_serving_sampled_path_matches_engine_rng_stream():
         assert got[req.request_id]["tokens"] == want
 
 
+def test_serving_prefix_pool_matches_host_path():
+    """Device-resident prefix pool (int row-index requests) must produce the
+    same tokens as shipping the same prefixes from the host."""
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    host_reqs = _requests(5, seed=4, caps=[4, 9, 6, 12, 3])
+    eng = ServingEngine(gpt2, CFG, prefix_len=P, settings=SETTINGS, slots=2,
+                        steps_per_sync=4, dtype=jnp.float32)
+    want = eng.serve(host_reqs, params)
+
+    pool = jnp.asarray(np.stack([r.prefix_embeds for r in host_reqs]))
+    pool_reqs = [dataclasses.replace(r, prefix_embeds=i)
+                 for i, r in enumerate(host_reqs)]
+    got = eng.serve(pool_reqs, params, prefix_pool=pool)
+    for req in host_reqs:
+        assert got[req.request_id] == want[req.request_id]
+
+
+def test_bundle_make_serving_engine():
+    from clipcap_tpu.core.config import CaptionerConfig, MapperConfig
+    from clipcap_tpu.models import captioner
+    from clipcap_tpu.models.bundle import CaptionerBundle
+
+    map_cfg = MapperConfig(dim_clip=16, dim_embedding=CFG.n_embd,
+                           prefix_length=P, clip_length=4, num_layers=1,
+                           num_heads=2)
+    cap_cfg = CaptionerConfig(lm_type="gpt2", mapper=map_cfg)
+    params = captioner.init(jax.random.PRNGKey(0), cap_cfg, CFG)
+    bundle = CaptionerBundle(params=params, cap_cfg=cap_cfg, lm_cfg=CFG,
+                             tokenizer=None)
+    eng = bundle.make_serving_engine(SETTINGS, slots=2, dtype=jnp.float32)
+    clip_feats = jax.random.normal(jax.random.PRNGKey(3), (3, 16))
+    pool = bundle.project_prefix(clip_feats)
+    reqs = [Request(i, i, max_length=c) for i, c in enumerate([3, 8, 5])]
+    out = eng.serve(reqs, bundle.lm_decode_params, prefix_pool=pool)
+    assert set(out) == {0, 1, 2}
+    assert [out[i]["length"] for i in range(3)] == [
+        min(len(out[i]["tokens"]), c) for i, c in enumerate([3, 8, 5])
+    ]
+
+    # int8 decode plugs in through the same surface
+    eng8 = bundle.enable_int8_decode().make_serving_engine(SETTINGS, slots=2)
+    out8 = eng8.serve(reqs, bundle.lm_decode_params, prefix_pool=pool)
+    assert set(out8) == {0, 1, 2}
+
+
 def test_serving_rejects_unsupported_settings():
     with pytest.raises(ValueError, match="sentence-length"):
         ServingEngine(gpt2, CFG, prefix_len=P, slots=2,
