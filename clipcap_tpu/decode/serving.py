@@ -39,7 +39,9 @@ penalty is the one exclusion (it needs the batch-global step counter,
 which has no meaning across slots at different points in their requests).
 
 Supported LMs: any module exposing `decode_step_ring` + `scatter_refill`
-(models/gpt2.py: bf16 `gpt2` and int8 `gpt2_int8`).
+(models/gpt2.py and models/gptj.py, bf16 and int8 — GPT-J's rotary runs
+at each row's own logical position; cross-attention decoders would need
+their encoder state swapped per refill and are not wired up).
 """
 
 from __future__ import annotations

@@ -181,7 +181,7 @@ class CaptionerBundle:
         Returns a decode.serving.ServingEngine bound to lm_decode (int8
         when enabled); drive it with `eng.serve(requests,
         bundle.lm_decode_params, prefix_pool=...)` where the pool rows are
-        project_prefix outputs. Requires a ring-capable LM (GPT-2 today —
+        project_prefix outputs. Requires a ring-capable LM (GPT-2/GPT-J —
         see decode/serving.py).
         """
         from ..decode.serving import ServingEngine

@@ -32,6 +32,7 @@ from ..core.config import GPT2Config
 from ..ops.activations import gelu_new
 from ..ops.attention import NEG_INF, dot_product_attention
 from ..ops.layernorm import layer_norm
+from ..ops.ring import refill_positions, ring_layout, scatter_rows
 
 
 class KVCache(NamedTuple):
@@ -156,29 +157,6 @@ def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.float32) -> 
     )
 
 
-def _ring_layout(idx, a_len, ring_start):
-    """Ring-cache write slot + per-row attention bias.
-
-    Continuous-batching decode (decode/serving.py) treats the cache's time
-    axis as a ring of size T written at `idx % T` — the write stays ONE
-    dynamic_update_slice slab per layer (the measured-fast layout; see
-    _forward_cached docstring) even though every slot is at a different
-    point in its own request. Each ring position p holds the K/V of global
-    timestep gp(p) = idx - ((idx - p) mod T) (the write of the CURRENT
-    token at idx is included: gp(idx % T) == idx); row b may attend p iff
-    gp(p) >= ring_start[b], its request's first claimed timestep. Never-
-    written positions have gp < 0 < ring_start. Causality needs no extra
-    term: the ring only ever holds timesteps <= idx.
-    """
-    # floor-mod (jnp.mod), NOT lax.rem: before the first wrap idx - p is
-    # negative for never-written positions p > idx, and truncated rem would
-    # give them gp == p >= start — attending zero-K/V garbage
-    wslot = jnp.mod(idx, a_len)
-    gp = idx - jnp.mod(idx - jnp.arange(a_len), a_len)
-    bias = jnp.where(gp[None, :] >= ring_start[:, None], 0.0, NEG_INF)  # [B, T]
-    return wslot, bias
-
-
 def _forward_cached(
     params: dict,
     cfg: GPT2Config,
@@ -223,7 +201,7 @@ def _forward_cached(
             raise ValueError("ring mode is decode-only (t == 1); refills prefill "
                              "a fresh small cache and scatter_refill it in")
         ring_pos, ring_start = ring
-        wslot, ring_bias = _ring_layout(idx, a_len, ring_start)
+        wslot, ring_bias = ring_layout(idx, a_len, ring_start)
         # per-row logical positions: each serving slot is at its own point
         x = inputs_embeds + jnp.take(params["wpe"], ring_pos, axis=0)[
             :, None
@@ -369,14 +347,10 @@ def scatter_refill(
     positions, and scattered back (R is small; the row copy is cheap next
     to a decode step).
     """
-    p = small.k.shape[2]
-    a_len = cache.k.shape[2]
-    rp = jnp.mod(cache.index - p + jnp.arange(p), a_len)
-    k_rows = cache.k[:, slots].at[:, :, rp].set(small.k.astype(cache.k.dtype))
-    v_rows = cache.v[:, slots].at[:, :, rp].set(small.v.astype(cache.v.dtype))
+    rp = refill_positions(cache.index, small.k.shape[2], cache.k.shape[2])
     return KVCache(
-        k=cache.k.at[:, slots].set(k_rows),
-        v=cache.v.at[:, slots].set(v_rows),
+        k=scatter_rows(cache.k, small.k, slots, rp, time_axis=2),
+        v=scatter_rows(cache.v, small.v, slots, rp, time_axis=2),
         index=cache.index,
     )
 
@@ -478,7 +452,7 @@ def _forward_cached_q8(
         if t != 1:
             raise ValueError("ring mode is decode-only (t == 1)")
         ring_pos, ring_start = ring
-        wslot, step_bias = _ring_layout(idx, a_len, ring_start)  # bias [B, T]
+        wslot, step_bias = ring_layout(idx, a_len, ring_start)  # bias [B, T]
         x = inputs_embeds.astype(jnp.bfloat16) + jnp.take(
             params["wpe"], ring_pos, axis=0
         )[:, None]
@@ -609,14 +583,10 @@ def scatter_refill_q8(
     cache: Int8KVCache, small: Int8KVCache, slots: jnp.ndarray
 ) -> Int8KVCache:
     """int8 scatter_refill; the head-major layout puts time on axis 3."""
-    p = small.k.shape[3]
-    a_len = cache.k.shape[3]
-    rp = jnp.mod(cache.index - p + jnp.arange(p), a_len)
+    rp = refill_positions(cache.index, small.k.shape[3], cache.k.shape[3])
 
     def put(big, sm):
-        rows = big[:, slots]
-        rows = rows.at[:, :, :, rp].set(sm)
-        return big.at[:, slots].set(rows)
+        return scatter_rows(big, sm, slots, rp, time_axis=3)
 
     return Int8KVCache(
         k=put(cache.k, small.k), v=put(cache.v, small.v),

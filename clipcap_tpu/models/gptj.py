@@ -26,6 +26,7 @@ from ..core.config import GPTJConfig
 from ..ops.activations import gelu_new
 from ..ops.attention import NEG_INF
 from ..ops.layernorm import layer_norm
+from ..ops.ring import refill_positions, ring_layout, scatter_rows
 
 
 class KVCache(NamedTuple):
@@ -89,10 +90,16 @@ def _rotate_every_two(x: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(x.shape)
 
 
-def _apply_rotary(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarray:
-    """x: [B, T, H, rd]; sin/cos: [T, rd]."""
-    sin = sin[None, :, None, :]
-    cos = cos[None, :, None, :]
+def _apply_rotary(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray,
+                  per_row: bool = False) -> jnp.ndarray:
+    """x: [B, T, H, rd]; sin/cos: [T, rd] — or [B, rd] with per_row=True
+    (ring decode: every serving slot sits at its own logical position)."""
+    if per_row:
+        sin = sin[:, None, None, :]
+        cos = cos[:, None, None, :]
+    else:
+        sin = sin[None, :, None, :]
+        cos = cos[None, :, None, :]
     return x * cos + _rotate_every_two(x) * sin
 
 
@@ -178,20 +185,36 @@ def init_cache(cfg: GPTJConfig, batch: int, max_len: int, dtype=jnp.float32) -> 
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
 
 
-def _forward_cached(params, cfg, inputs_embeds, cache):
+def _forward_cached(params, cfg, inputs_embeds, cache, ring=None):
     """Cache rides in the layer-scan carry with in-place slab writes — see
-    models/gpt2.py:_forward_cached for why (1.6x decode throughput)."""
+    models/gpt2.py:_forward_cached for why (1.6x decode throughput).
+
+    ring=(pos [B], start [B]) is the continuous-batching decode mode
+    (decode/serving.py): ring write slot + per-row window bias from
+    ops/ring.ring_layout, rotary angles at each row's own logical
+    position. The cached K are stored post-rotary at their writer's
+    logical position, so windows shifted per row need no re-rotation."""
     b, t, d = inputs_embeds.shape
     heads, dh = cfg.n_head, d // cfg.n_head
     rd = cfg.rotary_dim
     a_len = cache.k.shape[2]
     idx = cache.index
-    positions = idx + jnp.arange(t)
 
-    qpos = idx + jnp.arange(t)[:, None]
-    kpos = jnp.arange(a_len)[None, :]
-    bias = jnp.where(kpos <= qpos, 0.0, NEG_INF)[None, None]
-    sin, cos = _rotary_sincos(positions, rd)
+    per_row = ring is not None
+    if per_row:
+        if t != 1:
+            raise ValueError("ring mode is decode-only (t == 1)")
+        ring_pos, ring_start = ring
+        wslot, ring_bias = ring_layout(idx, a_len, ring_start)
+        bias = ring_bias[:, None, None, :]  # [B, 1, 1, a_len]
+        sin, cos = _rotary_sincos(ring_pos, rd)  # [B, rd]
+    else:
+        wslot = idx
+        positions = idx + jnp.arange(t)
+        qpos = idx + jnp.arange(t)[:, None]
+        kpos = jnp.arange(a_len)[None, :]
+        bias = jnp.where(kpos <= qpos, 0.0, NEG_INF)[None, None]
+        sin, cos = _rotary_sincos(positions, rd)
 
     def scan_fn(carry, xs):
         x, k_cache, v_cache = carry
@@ -200,13 +223,15 @@ def _forward_cached(params, cfg, inputs_embeds, cache):
         q = jnp.dot(h, layer["attn"]["wq"]).reshape(b, t, heads, dh)
         k = jnp.dot(h, layer["attn"]["wk"]).reshape(b, t, heads, dh)
         v = jnp.dot(h, layer["attn"]["wv"]).reshape(b, t, heads, dh)
-        q = jnp.concatenate([_apply_rotary(q[..., :rd], sin, cos), q[..., rd:]], axis=-1)
-        k = jnp.concatenate([_apply_rotary(k[..., :rd], sin, cos), k[..., rd:]], axis=-1)
+        q = jnp.concatenate(
+            [_apply_rotary(q[..., :rd], sin, cos, per_row), q[..., rd:]], axis=-1)
+        k = jnp.concatenate(
+            [_apply_rotary(k[..., :rd], sin, cos, per_row), k[..., rd:]], axis=-1)
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k[None].astype(k_cache.dtype), (l, 0, idx, 0, 0)
+            k_cache, k[None].astype(k_cache.dtype), (l, 0, wslot, 0, 0)
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v[None].astype(v_cache.dtype), (l, 0, idx, 0, 0)
+            v_cache, v[None].astype(v_cache.dtype), (l, 0, wslot, 0, 0)
         )
         keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)[:, :a_len]
         vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)[:, :a_len]
@@ -244,6 +269,26 @@ def decode_step(params, cfg, token_embed, cache):
         params, cfg, token_embed, cache
     )
     return logits[:, -1], cache
+
+
+def decode_step_ring(params, cfg, token_embed, cache, pos, start):
+    """Ring-cache decode step for continuous batching — see
+    models/gpt2.py decode_step_ring for the ring contract."""
+    logits, cache = _forward_cached(
+        params, cfg, token_embed, cache, ring=(pos, start)
+    )
+    return logits[:, -1], cache
+
+
+def scatter_refill(cache: KVCache, small: KVCache, slots: jnp.ndarray) -> KVCache:
+    """Write a freshly prefilled R-row small cache into ring-cache rows —
+    see models/gpt2.py scatter_refill for the window contract."""
+    rp = refill_positions(cache.index, small.k.shape[2], cache.k.shape[2])
+    return KVCache(
+        scatter_rows(cache.k, small.k, slots, rp, time_axis=2),
+        scatter_rows(cache.v, small.v, slots, rp, time_axis=2),
+        cache.index,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -319,6 +364,7 @@ def _forward_cached_q8(
     cache: Int8KVCache,
     fresh: bool = False,
     full_logits: bool = False,
+    ring=None,
 ) -> Tuple[jnp.ndarray, Int8KVCache]:
     b, t, d = inputs_embeds.shape
     heads, dh = cfg.n_head, d // cfg.n_head
@@ -326,14 +372,24 @@ def _forward_cached_q8(
     a_len = cache.k.shape[3]
     idx = cache.index
     eps = cfg.layer_norm_epsilon
-    positions = idx + jnp.arange(t)
-    sin, cos = _rotary_sincos(positions, rd)
+
+    per_row = ring is not None
+    if per_row:
+        if t != 1:
+            raise ValueError("ring mode is decode-only (t == 1)")
+        ring_pos, ring_start = ring
+        wslot, step_bias = ring_layout(idx, a_len, ring_start)  # bias [B, T]
+        sin, cos = _rotary_sincos(ring_pos, rd)  # [B, rd]
+    else:
+        wslot = idx
+        positions = idx + jnp.arange(t)
+        sin, cos = _rotary_sincos(positions, rd)
 
     if fresh and t > 1:
         qi = jnp.arange(t)[:, None]
         ki = jnp.arange(t)[None, :]
         prefill_bias = jnp.where(ki <= qi, 0.0, NEG_INF)[None, None]
-    else:
+    elif not per_row:
         kpos = jnp.arange(a_len)[None, :]
         step_bias = jnp.where(kpos <= idx + t - 1, 0.0, NEG_INF)  # [1, a_len]
 
@@ -346,23 +402,25 @@ def _forward_cached_q8(
         q = int8_linear(h, layer["attn"]["wq"]).reshape(b, t, heads, dh)
         k = int8_linear(h, layer["attn"]["wk"]).reshape(b, t, heads, dh)
         v = int8_linear(h, layer["attn"]["wv"]).reshape(b, t, heads, dh)
-        q = jnp.concatenate([_apply_rotary(q[..., :rd], sin, cos), q[..., rd:]], axis=-1)
-        k = jnp.concatenate([_apply_rotary(k[..., :rd], sin, cos), k[..., rd:]], axis=-1)
+        q = jnp.concatenate(
+            [_apply_rotary(q[..., :rd], sin, cos, per_row), q[..., rd:]], axis=-1)
+        k = jnp.concatenate(
+            [_apply_rotary(k[..., :rd], sin, cos, per_row), k[..., rd:]], axis=-1)
 
         # quantize the post-rotary K and V per (b, t, h), store head-major
         k8, sk = quantize_rows(k)
         v8, sv = quantize_rows(v)
         kc = jax.lax.dynamic_update_slice(
-            kc, k8.transpose(0, 2, 1, 3)[None], (l, 0, 0, idx, 0)
+            kc, k8.transpose(0, 2, 1, 3)[None], (l, 0, 0, wslot, 0)
         )
         vc = jax.lax.dynamic_update_slice(
-            vc, v8.transpose(0, 2, 1, 3)[None], (l, 0, 0, idx, 0)
+            vc, v8.transpose(0, 2, 1, 3)[None], (l, 0, 0, wslot, 0)
         )
         ksc = jax.lax.dynamic_update_slice(
-            ksc, sk[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, idx)
+            ksc, sk[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, wslot)
         )
         vsc = jax.lax.dynamic_update_slice(
-            vsc, sv[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, idx)
+            vsc, sv[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, wslot)
         )
 
         if fresh and t > 1:
@@ -440,6 +498,30 @@ def decode_step_q8(
     return logits[:, -1], cache
 
 
+def decode_step_ring_q8(params, cfg, token_embed, cache, pos, start):
+    """int8 ring-cache decode step — see models/gpt2.py decode_step_ring."""
+    logits, cache = _forward_cached_q8(
+        params, cfg, token_embed, cache, ring=(pos, start)
+    )
+    return logits[:, -1], cache
+
+
+def scatter_refill_q8(
+    cache: Int8KVCache, small: Int8KVCache, slots: jnp.ndarray
+) -> Int8KVCache:
+    """int8 scatter_refill; the head-major layout puts time on axis 3."""
+    rp = refill_positions(cache.index, small.k.shape[3], cache.k.shape[3])
+
+    def put(big, sm):
+        return scatter_rows(big, sm, slots, rp, time_axis=3)
+
+    return Int8KVCache(
+        k=put(cache.k, small.k), v=put(cache.v, small.v),
+        ks=put(cache.ks, small.ks), vs=put(cache.vs, small.vs),
+        index=cache.index,
+    )
+
+
 class _Int8Module:
     """lm/registry-protocol adapter for the int8 GPT-J decode path.
 
@@ -451,6 +533,8 @@ class _Int8Module:
     init_cache = staticmethod(init_cache_q8)
     prefill = staticmethod(prefill_q8)
     decode_step = staticmethod(decode_step_q8)
+    decode_step_ring = staticmethod(decode_step_ring_q8)
+    scatter_refill = staticmethod(scatter_refill_q8)
     embed_tokens = staticmethod(embed_tokens)
     embedding_size = staticmethod(embedding_size)
 

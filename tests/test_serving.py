@@ -14,12 +14,14 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from clipcap_tpu.core.config import GPT2Config
+from clipcap_tpu.core.config import GPT2Config, GPTJConfig
 from clipcap_tpu.decode import GenerationSettings, generate
 from clipcap_tpu.decode.serving import Request, ServingEngine
-from clipcap_tpu.models import gpt2
+from clipcap_tpu.models import gpt2, gptj
 
 CFG = GPT2Config(vocab_size=96, n_positions=96, n_embd=32, n_layer=2, n_head=4)
+CFG_J = GPTJConfig(vocab_size=96, n_positions=96, n_embd=32, n_layer=2,
+                   n_head=4, rotary_dim=4)
 P = 5  # prefix length
 EOS = 7
 
@@ -36,12 +38,12 @@ def _requests(n, seed=0, caps=None):
     ]
 
 
-def _engine_single(lm, params, req, settings, rng=None):
+def _engine_single(lm, params, req, settings, rng=None, cfg=CFG):
     """Static-engine reference for one request."""
     if req.max_length is not None:
         settings = dataclasses.replace(settings, max_length=req.max_length)
     out = generate(
-        lm, params, CFG, jnp.asarray(req.prefix_embeds)[None], settings, rng=rng
+        lm, params, cfg, jnp.asarray(req.prefix_embeds)[None], settings, rng=rng
     )
     toks, length, stopped = jax.device_get(
         (out["tokens"][0], out["lengths"][0], out["stopped"][0])
@@ -70,25 +72,30 @@ def test_serving_no_refill_matches_engine_batch():
         assert got[req.request_id]["stopped"] == bool(stopped[i])
 
 
-@pytest.mark.parametrize("int8", [False, True], ids=["bf16path", "int8"])
-def test_serving_refill_and_ring_wrap_match_individual_runs(int8):
+@pytest.mark.parametrize(
+    "family,int8",
+    [("gpt2", False), ("gpt2", True), ("gptj", False), ("gptj", True)],
+    ids=["gpt2", "gpt2-int8", "gptj", "gptj-int8"],
+)
+def test_serving_refill_and_ring_wrap_match_individual_runs(family, int8):
     """2 slots, 7 requests with staggered caps: slots refill repeatedly and
     the global index wraps the ring several times (ring = P+12+1 = 18,
     total steps > 40). Every request must match its solo static-engine run."""
-    params = gpt2.init(jax.random.PRNGKey(0), CFG)
-    lm = gpt2
+    mod, cfg = (gpt2, CFG) if family == "gpt2" else (gptj, CFG_J)
+    params = mod.init(jax.random.PRNGKey(0), cfg)
+    lm = mod
     if int8:
-        params = gpt2.quantize_params(params)
-        lm = gpt2.gpt2_int8
+        params = mod.quantize_params(params)
+        lm = mod.gpt2_int8 if family == "gpt2" else mod.gptj_int8
     caps = [3, 9, 5, 12, 7, 4, 2]
     reqs = _requests(7, seed=2, caps=caps)
-    eng = ServingEngine(lm, CFG, prefix_len=P, settings=SETTINGS, slots=2,
+    eng = ServingEngine(lm, cfg, prefix_len=P, settings=SETTINGS, slots=2,
                         steps_per_sync=3,
                         dtype=jnp.bfloat16 if int8 else jnp.float32)
     got = eng.serve(reqs, params)
     assert set(got) == {r.request_id for r in reqs}
     for req in reqs:
-        want, want_stopped = _engine_single(lm, params, req, SETTINGS)
+        want, want_stopped = _engine_single(lm, params, req, SETTINGS, cfg=cfg)
         assert got[req.request_id]["tokens"] == want, req.request_id
         assert got[req.request_id]["stopped"] == want_stopped
 
