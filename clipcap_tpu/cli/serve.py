@@ -1,0 +1,119 @@
+"""Batch caption server: CLIP-feature shards -> captions via continuous
+batching (beyond-reference; the production companion of cli/caption_me).
+
+Reads a `.npy` shard of CLIP features (the `prefixes/*.npy` layout
+tools/preprocess.py writes), projects them through the bundle's mapper
+into a device-resident prefix pool, and drives
+decode/serving.ServingEngine over it: a fixed batch of slots, each
+refilled with the next queued image the moment its caption finishes, so
+throughput tracks the mean caption length instead of the max. Writes one
+JSONL line per image.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def serve_shard(
+    bundle,
+    clip_features,  # [N, dim_clip] (or [N, clip_length, dim]) host array
+    out_path: str,
+    slots: int = 256,
+    refill_size: int = 0,
+    steps_per_sync: int = 16,
+    map_batch: int = 512,
+    **generation_kwargs,
+) -> int:
+    """Caption every row of clip_features; returns the number written."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..decode.engine import GenerationSettings
+    from ..decode.serving import Request
+
+    settings = GenerationSettings(**generation_kwargs)
+    engine = bundle.make_serving_engine(
+        settings, slots=slots,
+        refill_size=refill_size or None, steps_per_sync=steps_per_sync,
+    )
+
+    # mapper projection in fixed-size batches -> one device-resident pool
+    n = len(clip_features)
+    pool_parts = []
+    for i in range(0, n, map_batch):
+        part = jnp.asarray(np.asarray(clip_features[i:i + map_batch]))
+        pad = 0
+        if part.shape[0] < map_batch and i > 0:
+            pad = map_batch - part.shape[0]  # keep one executable shape
+            part = jnp.concatenate([part, jnp.zeros((pad,) + part.shape[1:],
+                                                    part.dtype)])
+        proj = bundle.project_prefix(part)
+        pool_parts.append(proj[: proj.shape[0] - pad])
+    pool = jnp.concatenate(pool_parts, axis=0) if len(pool_parts) > 1 else pool_parts[0]
+
+    requests = [Request(i, i) for i in range(n)]
+    results = engine.serve(requests, bundle.lm_decode_params, prefix_pool=pool)
+
+    special = set(getattr(bundle.tokenizer, "all_special_ids", ()))
+    with open(out_path, "w") as f:
+        for i in range(n):
+            res = results[i]
+            ids = [t for t in res["tokens"] if t not in special]
+            f.write(json.dumps({
+                "id": i,
+                "caption": bundle.tokenizer.decode_tokens(ids),
+                "tokens": res["length"],
+                "stopped": res["stopped"],
+            }) + "\n")
+    return n
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="continuous-batching caption server over a prefix shard")
+    p.add_argument("--checkpoint_path", required=True)
+    p.add_argument("--tokenizer_vocab_dir", required=True)
+    p.add_argument("--prefixes_npy", required=True,
+                   help="CLIP-feature shard (tools/preprocess.py prefixes/*.npy)")
+    p.add_argument("--out_jsonl", required=True)
+    p.add_argument("--slots", type=int, default=256)
+    p.add_argument("--refill_size", type=int, default=0,
+                   help="0 = slots // 8")
+    p.add_argument("--steps_per_sync", type=int, default=16)
+    p.add_argument("--int8_decode", action="store_true")
+    p.add_argument("--max_new_tokens", type=int, default=67)
+    p.add_argument("--top_p", type=float, default=0.0)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--repetition_penalty", type=float, default=1.0)
+    p.add_argument("--stop_token_id", type=int, default=None)
+    p.add_argument("--eos_token_id", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from .loading import load_captioner_bundle
+
+    bundle = load_captioner_bundle(args.checkpoint_path, args.tokenizer_vocab_dir)
+    if args.int8_decode:
+        bundle.enable_int8_decode()
+
+    feats = np.load(args.prefixes_npy)
+    n = serve_shard(
+        bundle, feats, args.out_jsonl,
+        slots=args.slots, refill_size=args.refill_size,
+        steps_per_sync=args.steps_per_sync,
+        max_new_tokens=args.max_new_tokens,
+        top_p=args.top_p, top_k=args.top_k, temperature=args.temperature,
+        repetition_penalty=args.repetition_penalty,
+        greedy=(args.top_p == 0.0 and args.top_k == 0),
+        stop_token_id=args.stop_token_id,
+        eos_token_id=args.eos_token_id,
+    )
+    print(f"wrote {n} captions to {args.out_jsonl}")
+
+
+if __name__ == "__main__":
+    main()

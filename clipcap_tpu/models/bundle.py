@@ -186,6 +186,11 @@ class CaptionerBundle:
         """
         from ..decode.serving import ServingEngine
 
+        # activation dtype must track the params (a bf16 step over f32
+        # weights would change the scan-carry dtype mid-layer); the
+        # embedding table is full-precision in every decode param set,
+        # including the int8 ones
+        kw.setdefault("dtype", self.lm_decode_params["wte"].dtype)
         return ServingEngine(
             self.lm_decode, self.lm_cfg,
             prefix_len=self.cap_cfg.mapper.prefix_length,

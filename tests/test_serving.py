@@ -168,6 +168,42 @@ def test_bundle_make_serving_engine():
     assert set(out8) == {0, 1, 2}
 
 
+def test_cli_serve_shard(tmp_path):
+    """cli/serve.serve_shard: CLIP features -> mapper pool -> continuous
+    batching -> JSONL captions, through a real tokenizer round-trip."""
+    import json
+
+    from clipcap_tpu.cli.serve import serve_shard
+    from clipcap_tpu.core.config import CaptionerConfig, MapperConfig
+    from clipcap_tpu.models import captioner
+    from clipcap_tpu.models.bundle import CaptionerBundle
+    from clipcap_tpu.tokenizers import GPT2TokenizerWrapper
+    from clipcap_tpu.tokenizers.bpe import ByteLevelBPE, bytes_to_unicode
+
+    base = list(dict.fromkeys(bytes_to_unicode().values()))
+    vocab = {t: i for i, t in enumerate(base + ["<|endoftext|>"])}
+    tok = GPT2TokenizerWrapper(ByteLevelBPE(vocab, []))
+
+    cfg = GPT2Config(vocab_size=len(vocab), n_positions=96, n_embd=32,
+                     n_layer=1, n_head=4)
+    map_cfg = MapperConfig(dim_clip=16, dim_embedding=32, prefix_length=3,
+                           clip_length=4, num_layers=1, num_heads=2)
+    cap_cfg = CaptionerConfig(lm_type="gpt2", mapper=map_cfg)
+    params = captioner.init(jax.random.PRNGKey(0), cap_cfg, cfg)
+    bundle = CaptionerBundle(params=params, cap_cfg=cap_cfg, lm_cfg=cfg,
+                             tokenizer=tok)
+
+    feats = np.random.default_rng(0).normal(size=(9, 16)).astype(np.float32)
+    out = tmp_path / "captions.jsonl"
+    n = serve_shard(bundle, feats, str(out), slots=4, steps_per_sync=3,
+                    map_batch=4, max_new_tokens=6, greedy=True)
+    assert n == 9
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [l["id"] for l in lines] == list(range(9))
+    assert all(isinstance(l["caption"], str) for l in lines)
+    assert all(0 < l["tokens"] <= 6 for l in lines)
+
+
 def test_serving_rejects_unsupported_settings():
     with pytest.raises(ValueError, match="sentence-length"):
         ServingEngine(gpt2, CFG, prefix_len=P, slots=2,
