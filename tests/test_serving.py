@@ -204,6 +204,24 @@ def test_cli_serve_shard(tmp_path):
     assert all(0 < l["tokens"] <= 6 for l in lines)
 
 
+def test_bench_serving_phase_smoke():
+    """bench.py's _bench_serving must run end to end (tiny shapes, CPU):
+    a bug here would otherwise surface only in the round-end TPU bench."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    cfg = GPT2Config(vocab_size=128, n_positions=128, n_embd=32, n_layer=2,
+                     n_head=4)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    out = bench._bench_serving(cfg, params, slots=4, n_requests=12)
+    assert out["n_requests"] == 12
+    assert out["serving_captions_per_sec"] > 0
+    assert out["static_engine_captions_per_sec"] > 0
+
+
 def test_serving_rejects_unsupported_settings():
     with pytest.raises(ValueError, match="sentence-length"):
         ServingEngine(gpt2, CFG, prefix_len=P, slots=2,
