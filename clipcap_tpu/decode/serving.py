@@ -107,6 +107,7 @@ class ServingEngine:
         refill_size: Optional[int] = None,
         steps_per_sync: int = 8,
         dtype=jnp.bfloat16,
+        cache_constraint=None,
     ):
         if not hasattr(lm, "decode_step_ring") or not hasattr(lm, "scatter_refill"):
             raise TypeError(
@@ -135,6 +136,11 @@ class ServingEngine:
         self.refill_size = int(refill_size or max(1, slots // 8))
         self.steps_per_sync = int(steps_per_sync)
         self.dtype = dtype
+        # multi-chip hook, same contract as engine.generate: applied to the
+        # freshly created ring cache inside the traced init (e.g.
+        # parallel/dp.DPDecodeShardings.constrain_cache — batch-sharded
+        # slots decode data-parallel; slots must divide the data axis)
+        self.cache_constraint = cache_constraint
         # ring capacity: the longest-lived row still needs its window-start
         # entry on the step whose write overwrites timestep index - T
         self.ring_len = self.prefix_len + settings.max_new_tokens + 1
@@ -160,6 +166,8 @@ class ServingEngine:
         cache = self.lm.init_cache(
             self.cfg, batch=b, max_len=self.ring_len, dtype=self.dtype
         )
+        if self.cache_constraint is not None:
+            cache = self.cache_constraint(cache)
         logits, cache = self.lm.prefill(params, self.cfg, prefixes, cache)
         return ServingState(
             cache=cache,

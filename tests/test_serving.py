@@ -204,6 +204,35 @@ def test_cli_serve_shard(tmp_path):
     assert all(0 < l["tokens"] <= 6 for l in lines)
 
 
+def test_serving_data_parallel_matches_single_device():
+    """DP serving on the 8-device mesh (parallel/dp.py constrain_cache as
+    the serving cache_constraint): batch-sharded slots, replicated params —
+    results must match the unconstrained single-device serve, including
+    across refills."""
+    from clipcap_tpu.core.mesh import MeshSpec, make_mesh
+    from clipcap_tpu.parallel.dp import dp_decode_shardings
+
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    caps = [3, 9, 5, 12, 7, 4, 2, 6, 11, 8]
+    reqs = _requests(10, seed=5, caps=caps)
+    want = ServingEngine(
+        gpt2, CFG, prefix_len=P, settings=SETTINGS, slots=8,
+        steps_per_sync=4, dtype=jnp.float32,
+    ).serve(reqs, params)
+
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    sh = dp_decode_shardings(mesh)
+    with mesh:
+        sp = jax.device_put(params, sh.params(params))
+        got = ServingEngine(
+            gpt2, CFG, prefix_len=P, settings=SETTINGS, slots=8,
+            steps_per_sync=4, dtype=jnp.float32,
+            cache_constraint=sh.constrain_cache,
+        ).serve(reqs, sp)
+    for req in reqs:
+        assert got[req.request_id] == want[req.request_id], req.request_id
+
+
 def test_bench_serving_phase_smoke():
     """bench.py's _bench_serving must run end to end (tiny shapes, CPU):
     a bug here would otherwise surface only in the round-end TPU bench."""
