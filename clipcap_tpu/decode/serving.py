@@ -38,10 +38,13 @@ replaced by each slot's own generated-token count. The sentence-length
 penalty is the one exclusion (it needs the batch-global step counter,
 which has no meaning across slots at different points in their requests).
 
-Supported LMs: any module exposing `decode_step_ring` + `scatter_refill`
-(models/gpt2.py and models/gptj.py, bf16 and int8 — GPT-J's rotary runs
-at each row's own logical position; cross-attention decoders would need
-their encoder state swapped per refill and are not wired up).
+Supported LMs: any module exposing `decode_step_ring` + `scatter_refill`:
+gpt2 (absolute positions), gptj (rotary at each row's own logical
+position) and t5 (per-row relative-position buckets from the ring
+timesteps; the per-request encoder output swaps in at refill for its
+cross-attention) — each in bf16 and int8. The BLIP token-id decoder
+stays on the static engine (it exists for Gen-B candidate synthesis,
+not serving).
 """
 
 from __future__ import annotations
@@ -275,7 +278,12 @@ class ServingEngine:
             logits_next, cache = self.lm.decode_step_ring(
                 params, self.cfg, step_in, st.cache, st.pos, st.start
             )
-            pos = jnp.minimum(st.pos + 1, self.cfg.n_positions - 1)
+            # dead slots keep stepping until refilled; clamp their logical
+            # position inside the table for absolute-position models
+            # (relative-position models — t5 — have no n_positions)
+            limit = getattr(self.cfg, "n_positions", None)
+            pos = st.pos + 1 if limit is None else jnp.minimum(st.pos + 1,
+                                                               limit - 1)
 
             new_state = ServingState(
                 cache=cache,

@@ -189,8 +189,9 @@ class CaptionerBundle:
         # activation dtype must track the params (a bf16 step over f32
         # weights would change the scan-carry dtype mid-layer); the
         # embedding table is full-precision in every decode param set,
-        # including the int8 ones
-        kw.setdefault("dtype", self.lm_decode_params["wte"].dtype)
+        # including the int8 ones ("wte" gpt2/gptj, "shared" t5)
+        p = self.lm_decode_params
+        kw.setdefault("dtype", p.get("wte", p.get("shared")).dtype)
         return ServingEngine(
             self.lm_decode, self.lm_cfg,
             prefix_len=self.cap_cfg.mapper.prefix_length,

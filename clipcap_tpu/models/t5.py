@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..core.config import T5Config
 from ..ops.activations import gelu_new
 from ..ops.attention import NEG_INF
+from ..ops.ring import refill_positions, ring_layout, ring_timesteps, scatter_rows
 from ..ops.layernorm import rms_norm
 from ..ops.quant import linear
 
@@ -285,15 +286,37 @@ def init_cache(cfg: T5Config, batch: int, max_len: int, dtype=jnp.float32) -> KV
     )
 
 
-def _decoder_cached(params, cfg: T5Config, dec_embeds, cache: KVCache):
+def _decoder_cached(params, cfg: T5Config, dec_embeds, cache: KVCache,
+                    ring=None):
     b, t, d = dec_embeds.shape
     a_len = cache.k.shape[2]
     idx = cache.index
-    qpos = idx + jnp.arange(t)
-    kpos = jnp.arange(a_len)
-    self_bias = _position_bias(params["decoder"]["rel_bias"], qpos, kpos, False, cfg)
-    causal = jnp.where(kpos[None, :] <= qpos[:, None], 0.0, NEG_INF)[None, None]
-    self_bias = self_bias + causal
+
+    if ring is not None:  # continuous batching (decode/serving.py)
+        if t != 1:
+            raise ValueError("ring mode is decode-only (t == 1)")
+        ring_pos, ring_start = ring
+        wslot, window = ring_layout(idx, a_len, ring_start)  # window [B, T]
+        # per-row relative positions: ring position p holds the key of the
+        # row's logical position gp[p] - start[b]; the query sits at
+        # pos[b]. Out-of-window positions get garbage distances, but the
+        # window mask zeroes them before the softmax either way.
+        gp = ring_timesteps(idx, a_len)
+        rel = (gp[None, :] - ring_start[:, None]) - ring_pos[:, None]  # [B, T]
+        buckets = _relative_position_bucket(
+            rel, False, cfg.relative_attention_num_buckets,
+            cfg.relative_attention_max_distance,
+        )
+        bias = params["decoder"]["rel_bias"][buckets]  # [B, T, H]
+        self_bias = (bias.transpose(0, 2, 1)[:, :, None, :]
+                     + window[:, None, None, :])  # [B, H, 1, T]
+    else:
+        wslot = idx
+        qpos = idx + jnp.arange(t)
+        kpos = jnp.arange(a_len)
+        self_bias = _position_bias(params["decoder"]["rel_bias"], qpos, kpos, False, cfg)
+        causal = jnp.where(kpos[None, :] <= qpos[:, None], 0.0, NEG_INF)[None, None]
+        self_bias = self_bias + causal
 
     # cache rides in the scan carry with in-place slab writes — see
     # models/gpt2.py:_forward_cached for the layout rationale
@@ -305,10 +328,10 @@ def _decoder_cached(params, cfg: T5Config, dec_embeds, cache: KVCache):
         k = linear(h, layer["self_attn"]["wk"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
         v = linear(h, layer["self_attn"]["wv"]).reshape(b, t, cfg.num_heads, cfg.d_kv)
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k[None].astype(k_cache.dtype), (l, 0, idx, 0, 0)
+            k_cache, k[None].astype(k_cache.dtype), (l, 0, wslot, 0, 0)
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v[None].astype(v_cache.dtype), (l, 0, idx, 0, 0)
+            v_cache, v[None].astype(v_cache.dtype), (l, 0, wslot, 0, 0)
         )
         keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)[:, :a_len]
         vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)[:, :a_len]
@@ -350,6 +373,37 @@ def prefill(params, cfg: T5Config, inputs_embeds, cache: KVCache,
 def decode_step(params, cfg: T5Config, token_embed, cache: KVCache):
     logits, cache = _decoder_cached(params, cfg, token_embed, cache)
     return logits[:, -1], cache
+
+
+def decode_step_ring(params, cfg: T5Config, token_embed, cache: KVCache,
+                     pos, start):
+    """Ring-cache decode step for continuous batching — see
+    models/gpt2.py decode_step_ring; the relative-position bias is
+    computed per row from the ring timesteps (ops/ring.ring_timesteps)."""
+    logits, cache = _decoder_cached(params, cfg, token_embed, cache,
+                                    ring=(pos, start))
+    return logits[:, -1], cache
+
+
+def scatter_refill(cache: KVCache, small: KVCache, slots) -> KVCache:
+    """Write a freshly prefilled R-row small cache into ring-cache rows.
+
+    Beyond the self-attention K/V slabs (see models/gpt2.py
+    scatter_refill), the per-request encoder output swaps in by plain row
+    scatter: cross-attention reads enc_hidden[b] directly, nothing rides
+    the ring. Serving prefixes carry no attention mask (enc_bias None)."""
+    if cache.enc_bias is not None or small.enc_bias is not None:
+        raise ValueError("serving refill does not support enc_bias "
+                         "(masked encoder prompts)")
+    rp = refill_positions(cache.index, small.k.shape[2], cache.k.shape[2])
+    return KVCache(
+        k=scatter_rows(cache.k, small.k, slots, rp, time_axis=2),
+        v=scatter_rows(cache.v, small.v, slots, rp, time_axis=2),
+        enc_hidden=cache.enc_hidden.at[slots].set(
+            small.enc_hidden.astype(cache.enc_hidden.dtype)),
+        enc_bias=None,
+        index=cache.index,
+    )
 
 
 def quantize_params(params: dict) -> dict:

@@ -32,9 +32,17 @@ def ring_layout(idx, a_len: int, ring_start):
     give them gp == p >= start — attending zero-K/V garbage.
     """
     wslot = jnp.mod(idx, a_len)
-    gp = idx - jnp.mod(idx - jnp.arange(a_len), a_len)
+    gp = ring_timesteps(idx, a_len)
     bias = jnp.where(gp[None, :] >= ring_start[:, None], 0.0, NEG_INF)  # [B, T]
     return wslot, bias
+
+
+def ring_timesteps(idx, a_len: int):
+    """gp[p]: the global timestep whose K/V ring position p currently holds
+    (negative for never-written positions). Relative-position models (T5)
+    need this to compute per-row query-key distances: a row with window
+    start s sees ring position p at logical key position gp[p] - s."""
+    return idx - jnp.mod(idx - jnp.arange(a_len), a_len)
 
 
 def refill_positions(idx, prefix_len: int, a_len: int):

@@ -14,14 +14,17 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from clipcap_tpu.core.config import GPT2Config, GPTJConfig
+from clipcap_tpu.core.config import GPT2Config, GPTJConfig, T5Config
 from clipcap_tpu.decode import GenerationSettings, generate
 from clipcap_tpu.decode.serving import Request, ServingEngine
-from clipcap_tpu.models import gpt2, gptj
+from clipcap_tpu.models import gpt2, gptj, t5
 
 CFG = GPT2Config(vocab_size=96, n_positions=96, n_embd=32, n_layer=2, n_head=4)
 CFG_J = GPTJConfig(vocab_size=96, n_positions=96, n_embd=32, n_layer=2,
                    n_head=4, rotary_dim=4)
+CFG_T5 = T5Config(vocab_size=96, d_model=32, d_kv=8, d_ff=64, num_heads=4,
+                  num_layers=2, num_decoder_layers=2,
+                  feed_forward_proj="gated-gelu")
 P = 5  # prefix length
 EOS = 7
 
@@ -74,19 +77,26 @@ def test_serving_no_refill_matches_engine_batch():
 
 @pytest.mark.parametrize(
     "family,int8",
-    [("gpt2", False), ("gpt2", True), ("gptj", False), ("gptj", True)],
-    ids=["gpt2", "gpt2-int8", "gptj", "gptj-int8"],
+    [("gpt2", False), ("gpt2", True), ("gptj", False), ("gptj", True),
+     ("t5", False), ("t5", True)],
+    ids=["gpt2", "gpt2-int8", "gptj", "gptj-int8", "t5", "t5-int8"],
 )
 def test_serving_refill_and_ring_wrap_match_individual_runs(family, int8):
     """2 slots, 7 requests with staggered caps: slots refill repeatedly and
     the global index wraps the ring several times (ring = P+12+1 = 18,
-    total steps > 40). Every request must match its solo static-engine run."""
-    mod, cfg = (gpt2, CFG) if family == "gpt2" else (gptj, CFG_J)
+    total steps > 40). Every request must match its solo static-engine run.
+    Covers absolute (gpt2), rotary (gptj) and relative (t5) positions —
+    t5 also swaps per-request encoder outputs for its cross-attention."""
+    mod, cfg = {"gpt2": (gpt2, CFG), "gptj": (gptj, CFG_J),
+                "t5": (t5, CFG_T5)}[family]
     params = mod.init(jax.random.PRNGKey(0), cfg)
     lm = mod
     if int8:
         params = mod.quantize_params(params)
-        lm = mod.gpt2_int8 if family == "gpt2" else mod.gptj_int8
+        # t5's linears dispatch on quantized leaves; same module drives int8
+        lm = {"gpt2": getattr(mod, "gpt2_int8", mod),
+              "gptj": getattr(mod, "gptj_int8", mod),
+              "t5": mod}[family]
     caps = [3, 9, 5, 12, 7, 4, 2]
     reqs = _requests(7, seed=2, caps=caps)
     eng = ServingEngine(lm, cfg, prefix_len=P, settings=SETTINGS, slots=2,
@@ -261,6 +271,6 @@ def test_serving_rejects_unsupported_settings():
                       settings=dataclasses.replace(
                           SETTINGS, top_p=np.array([0.9, 0.8])))
     with pytest.raises(TypeError, match="ring decode"):
-        from clipcap_tpu.models import t5
+        from clipcap_tpu.models import blip_text
 
-        ServingEngine(t5, None, prefix_len=P, slots=2, settings=SETTINGS)
+        ServingEngine(blip_text, None, prefix_len=P, slots=2, settings=SETTINGS)
