@@ -159,6 +159,7 @@ def preprocess_dataset(
     quantize_int8: bool = False,
     use_native_jpeg: bool = True,
     native_dct_scale: bool = True,
+    upload_workers: int = 1,
 ) -> dict:
     """Run preprocessing; returns {"samples": n, "shards": k, "ips": rate}."""
     import jax
@@ -218,7 +219,11 @@ def preprocess_dataset(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    uploader = ThreadPoolExecutor(max_workers=1)  # order-preserving
+    # results stay ordered whatever the worker count: shard_prefixes holds
+    # futures in submit order and flush() waits on them in order. >1 only
+    # pays if the relay multiplexes concurrent host->device PUTs
+    # (measure before raising the default)
+    uploader = ThreadPoolExecutor(max_workers=max(1, upload_workers))
 
     def flush():
         nonlocal shard_idx, shard_prefixes, shard_tokens, shard_in_flight
@@ -334,6 +339,8 @@ def main(argv=None):
     p.add_argument("--no_dct_scale", dest="native_dct_scale",
                    action="store_false",
                    help="disable the native decoder's M/8 IDCT prescale (exact-PIL-geometry pixels, slower)")
+    p.add_argument("--upload_workers", type=int, default=1,
+                   help="concurrent host->device pixel uploads (results stay ordered)")
     args = p.parse_args(argv)
     preprocess_dataset(**vars(args))
 
