@@ -659,6 +659,7 @@ def _bench_serving(cfg, params, slots: int = 2 * BATCH,
     results = run_serving()
     t_serving = time.perf_counter() - t0
     assert len(results) == n_requests
+    lats = sorted(r["latency_s"] for r in results.values())
 
     run_static()  # compile
     t0 = time.perf_counter()
@@ -669,6 +670,8 @@ def _bench_serving(cfg, params, slots: int = 2 * BATCH,
         "serving_captions_per_sec": round(n_requests / t_serving, 1),
         "static_engine_captions_per_sec": round(n_requests / t_static, 1),
         "speedup": round(t_static / t_serving, 3),
+        "latency_p50_s": round(lats[len(lats) // 2], 3),
+        "latency_p99_s": round(lats[min(len(lats) - 1, int(len(lats) * 0.99))], 3),
         "slots": slots,
         "cap_range": [8, NEW_TOKENS],
         "n_requests": n_requests,

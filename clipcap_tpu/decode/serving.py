@@ -50,6 +50,7 @@ not serving).
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Iterable, NamedTuple, Optional
 
 import jax
@@ -344,11 +345,14 @@ class ServingEngine:
               prefix_pool=None) -> dict:
         """Run every request to completion; returns {request_id: result}.
 
-        result = {"tokens": [int], "length": int, "stopped": bool} with the
-        same token semantics as engine.generate (the stopping token is
-        included; suppressed over-length tokens are not; `stopped` means
-        the request completed naturally rather than hitting the
-        max_new_tokens scan cap).
+        result = {"tokens": [int], "length": int, "stopped": bool,
+        "latency_s": float} with the same token semantics as
+        engine.generate (the stopping token is included; suppressed
+        over-length tokens are not; `stopped` means the request completed
+        naturally rather than hitting the max_new_tokens scan cap).
+        latency_s is wall time from slot assignment to harvest — the
+        serving-side p50/p99 metric (queue wait before assignment is the
+        caller's to measure).
 
         `prefix_pool`: optional [n, P, D] DEVICE array; each request's
         prefix_embeds is then an int row index and prefix batches are
@@ -404,6 +408,7 @@ class ServingEngine:
 
         slot_req = list(first)  # per-slot current Request (None = free)
         bufs = [[] for _ in range(b)]
+        t_assign = [time.time()] * b
         results = {}
 
         while any(req is not None for req in slot_req):
@@ -423,6 +428,7 @@ class ServingEngine:
                         "tokens": bufs[slot],
                         "length": len(bufs[slot]),
                         "stopped": bool(nat[slot]),
+                        "latency_s": time.time() - t_assign[slot],
                     }
                     slot_req[slot] = None
                     bufs[slot] = []
@@ -438,9 +444,11 @@ class ServingEngine:
                 batch = [queue.pop() for _ in range(r)]
                 caps = np.array([req_cap(req) for req in batch], np.int32)
                 slots_arr = np.array(free[:r], np.int32)
+                now = time.time()
                 for i, req in enumerate(batch):
                     slot_req[free[i]] = req
                     bufs[free[i]] = []
+                    t_assign[free[i]] = now
                 state = self._refill_jit(
                     r, params, state, stack_prefixes(batch, r),
                     jnp.asarray(slots_arr), jnp.asarray(caps),
