@@ -65,8 +65,8 @@ def test_refill_positions_wrap_seam():
 def test_scatter_rows_only_touches_target_rows_and_positions():
     big = jnp.zeros((2, 4, T, 3))  # [L, B, T, D]
     small = jnp.ones((2, 2, 2, 3)) * 7.0
-    out = np.asarray(scatter_rows(big, small, jnp.asarray([1, 3]),
-                                  jnp.asarray([6, 0]), time_axis=2))
+    out = np.array(scatter_rows(big, small, jnp.asarray([1, 3]),
+                                jnp.asarray([6, 0]), time_axis=2))
     for row in (1, 3):
         for p in (6, 0):
             assert (out[:, row, p] == 7.0).all()
