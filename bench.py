@@ -631,6 +631,9 @@ def _bench_serving(cfg, params, slots: int = 2 * BATCH,
     serv = ServingEngine(
         gpt2.gpt2_int8, cfg, prefix_len=PREFIX_LEN, settings=settings,
         slots=slots, refill_size=64, steps_per_sync=16,
+        # sparse ladder: 4 compiled prefill sizes instead of 7 (each costs
+        # a relay compile round) at the price of a little slot-idle time
+        refill_sizes=(1, 4, 16, 64) if slots >= 64 else None,
     )
     reqs = [Request(i, i, max_length=int(caps[i])) for i in range(n_requests)]
 

@@ -112,6 +112,7 @@ class ServingEngine:
         steps_per_sync: int = 8,
         dtype=jnp.bfloat16,
         cache_constraint=None,
+        refill_sizes=None,
     ):
         if not hasattr(lm, "decode_step_ring") or not hasattr(lm, "scatter_refill"):
             raise TypeError(
@@ -151,13 +152,24 @@ class ServingEngine:
 
         self._init_fn = jax.jit(self._init)
         self._chunk_fn = jax.jit(self._chunk)
-        # power-of-two refill sizes: every refill row is real and every
-        # target slot distinct (duplicate scatter indices are undefined)
-        self._refill_sizes = []
-        k = 1
-        while k <= self.refill_size:
-            self._refill_sizes.append(k)
-            k *= 2
+        # graduated refill sizes (default powers of two up to refill_size):
+        # every refill row is real and every target slot distinct —
+        # padding with dummy rows would make duplicate scatter indices,
+        # whose write order is undefined. A sparser explicit ladder trades
+        # slot-idle time for fewer compiled prefill sizes; it must contain
+        # 1 so the tail of a queue can always be placed.
+        if refill_sizes is not None:
+            self._refill_sizes = sorted(int(k) for k in refill_sizes)
+            if not self._refill_sizes or self._refill_sizes[0] != 1:
+                raise ValueError("refill_sizes must include 1")
+            if self._refill_sizes[-1] > self.slots:
+                raise ValueError("refill sizes cannot exceed the slot count")
+        else:
+            self._refill_sizes = []
+            k = 1
+            while k <= self.refill_size:
+                self._refill_sizes.append(k)
+                k *= 2
         # r is static: one executable per refill size, compiled on first use
         self._refill_jit = jax.jit(self._refill, static_argnums=0)
 
