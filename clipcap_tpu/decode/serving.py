@@ -40,11 +40,13 @@ which has no meaning across slots at different points in their requests).
 
 Supported LMs: any module exposing `decode_step_ring` + `scatter_refill`:
 gpt2 (absolute positions), gptj (rotary at each row's own logical
-position) and t5 (per-row relative-position buckets from the ring
+position), t5 (per-row relative-position buckets from the ring
 timesteps; the per-request encoder output swaps in at refill for its
-cross-attention) — each in bf16 and int8. The BLIP token-id decoder
-stays on the static engine (it exists for Gen-B candidate synthesis,
-not serving).
+cross-attention) — each in bf16 and int8 — and the BLIP decoder via
+blip_text.serving_decoder_lm (token-id mode: the per-request prefix is
+the image FEATURES its prefill turns into cross-attention K/V, while a
+fixed decoder prompt occupies the ring — pass prefix_len=image tokens,
+prompt_len=prompt ids).
 """
 
 from __future__ import annotations
@@ -107,6 +109,7 @@ class ServingEngine:
         lm_cfg: Any,
         prefix_len: int,
         settings: GenerationSettings,
+        prompt_len: Optional[int] = None,
         slots: int = 256,
         refill_size: Optional[int] = None,
         steps_per_sync: int = 8,
@@ -119,8 +122,10 @@ class ServingEngine:
                 f"LM module {lm!r} does not support ring decode "
                 "(needs decode_step_ring + scatter_refill; see models/gpt2.py)"
             )
-        if getattr(lm, "takes_token_ids", False):
-            raise TypeError("token-id LMs are not supported by ServingEngine")
+        # token-id adapters (blip_text.serving_decoder_lm) feed ids instead
+        # of embeddings; their prefix is still an array per request (the
+        # image features their prefill consumes)
+        self.token_mode = bool(getattr(lm, "takes_token_ids", False))
         if settings.desired_sentence_length > 0:
             raise ValueError(
                 "the sentence-length penalty needs the batch-global step "
@@ -137,6 +142,11 @@ class ServingEngine:
         self.cfg = lm_cfg
         self.settings = settings
         self.prefix_len = int(prefix_len)
+        # self-attention positions the prefill consumes; differs from
+        # prefix_len only for token-id adapters, whose prefix rows are
+        # image FEATURES while the fixed decoder prompt occupies the ring
+        self.prompt_len = int(prompt_len if prompt_len is not None
+                              else prefix_len)
         self.slots = int(slots)
         self.refill_size = int(refill_size or max(1, slots // 8))
         self.steps_per_sync = int(steps_per_sync)
@@ -148,7 +158,7 @@ class ServingEngine:
         self.cache_constraint = cache_constraint
         # ring capacity: the longest-lived row still needs its window-start
         # entry on the step whose write overwrites timestep index - T
-        self.ring_len = self.prefix_len + settings.max_new_tokens + 1
+        self.ring_len = self.prompt_len + settings.max_new_tokens + 1
 
         self._init_fn = jax.jit(self._init)
         self._chunk_fn = jax.jit(self._chunk)
@@ -189,7 +199,7 @@ class ServingEngine:
             cache=cache,
             last_logits=logits[:, -1].astype(jnp.float32),
             start=jnp.zeros((b,), jnp.int32),
-            pos=jnp.full((b,), self.prefix_len, jnp.int32),
+            pos=jnp.full((b,), self.prompt_len, jnp.int32),
             gen_count=jnp.zeros((b,), jnp.int32),
             hist=jnp.zeros((b, n), jnp.int32),
             hist_valid=jnp.zeros((b, n), bool),
@@ -285,16 +295,20 @@ class ServingEngine:
             nat_stopped = st.nat_stopped | (completed & ~st.stopped)
             stopped = st.stopped | completed | (gen_count >= n)
 
-            step_in = self.lm.embed_tokens(params, emitted)[:, None, :].astype(
-                self.dtype
-            )
+            if self.token_mode:
+                step_in = emitted[:, None]
+            else:
+                step_in = self.lm.embed_tokens(params, emitted)[
+                    :, None, :
+                ].astype(self.dtype)
             logits_next, cache = self.lm.decode_step_ring(
                 params, self.cfg, step_in, st.cache, st.pos, st.start
             )
             # dead slots keep stepping until refilled; clamp their logical
             # position inside the table for absolute-position models
             # (relative-position models — t5 — have no n_positions)
-            limit = getattr(self.cfg, "n_positions", None)
+            limit = (getattr(self.cfg, "n_positions", None)
+                     or getattr(self.cfg, "max_position_embeddings", None))
             pos = st.pos + 1 if limit is None else jnp.minimum(st.pos + 1,
                                                                limit - 1)
 
@@ -324,7 +338,7 @@ class ServingEngine:
                 new_max_len):
         """Prefill r new requests and swap them into r distinct free slots."""
         small = self.lm.init_cache(
-            self.cfg, batch=r, max_len=self.prefix_len, dtype=self.dtype
+            self.cfg, batch=r, max_len=self.prompt_len, dtype=self.dtype
         )
         logits, small = self.lm.prefill(params, self.cfg, prefixes, small)
         cache = self.lm.scatter_refill(state.cache, small, slots)
@@ -336,8 +350,8 @@ class ServingEngine:
         return ServingState(
             cache=cache,
             last_logits=put(state.last_logits, logits[:, -1].astype(jnp.float32)),
-            start=put(state.start, jnp.full((r,), idx - self.prefix_len)),
-            pos=put(state.pos, jnp.full((r,), self.prefix_len, jnp.int32)),
+            start=put(state.start, jnp.full((r,), idx - self.prompt_len)),
+            pos=put(state.pos, jnp.full((r,), self.prompt_len, jnp.int32)),
             gen_count=put(state.gen_count, jnp.zeros((r,), jnp.int32)),
             hist=put(state.hist, jnp.zeros((r,) + state.hist.shape[1:],
                                            state.hist.dtype)),

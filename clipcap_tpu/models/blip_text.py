@@ -29,6 +29,7 @@ from ..core.config import BlipTextConfig
 from ..ops.activations import gelu_exact
 from ..ops.attention import NEG_INF
 from ..ops.layernorm import layer_norm
+from ..ops.ring import refill_positions, ring_layout, scatter_rows
 from ..ops.quant import linear
 
 
@@ -139,11 +140,16 @@ def _ffn(x, mlp, eps: float):
 
 def embeddings(params: dict, cfg: BlipTextConfig, tokens: jnp.ndarray,
                position_offset=0) -> jnp.ndarray:
+    """position_offset: scalar, or a [B] vector (ring decode — every
+    serving slot sits at its own logical position)."""
     t = tokens.shape[1]
-    pos = position_offset + jnp.arange(t)
-    x = params["word_embeddings"][tokens] + jnp.take(
-        params["position_embeddings"], pos, axis=0
-    )[None]
+    if jnp.ndim(position_offset) == 1:
+        pos = position_offset[:, None] + jnp.arange(t)[None]  # [B, T]
+        pos_emb = jnp.take(params["position_embeddings"], pos, axis=0)
+    else:
+        pos = position_offset + jnp.arange(t)
+        pos_emb = jnp.take(params["position_embeddings"], pos, axis=0)[None]
+    x = params["word_embeddings"][tokens] + pos_emb
     return layer_norm(x, params["emb_ln"]["g"], params["emb_ln"]["b"],
                       eps=cfg.layer_norm_epsilon)
 
@@ -230,18 +236,29 @@ def _precompute_cross(params, cfg: BlipTextConfig, encoder_hidden_states):
 
 
 def _forward_cached(params, cfg: BlipTextConfig, tokens, cache: KVCache,
-                    cross_repeat: int = 1):
+                    cross_repeat: int = 1, ring=None):
     b, t = tokens.shape
     heads, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
     a_len = cache.k.shape[2]
     idx = cache.index
     eps = cfg.layer_norm_epsilon
 
-    x = embeddings(params, cfg, tokens, position_offset=idx)
-
-    qpos = idx + jnp.arange(t)[:, None]
-    kpos = jnp.arange(a_len)[None, :]
-    bias = jnp.where(kpos <= qpos, 0.0, NEG_INF)[None, None]
+    if ring is not None:  # continuous batching (decode/serving.py)
+        if t != 1:
+            raise ValueError("ring mode is decode-only (t == 1)")
+        if cross_repeat != 1:
+            raise ValueError("grouped cross-attention (repeat>1) is a Gen-B "
+                             "candidate layout, not a serving one")
+        ring_pos, ring_start = ring
+        wslot, ring_bias = ring_layout(idx, a_len, ring_start)
+        bias = ring_bias[:, None, None, :]  # [B, 1, 1, a_len]
+        x = embeddings(params, cfg, tokens, position_offset=ring_pos)
+    else:
+        wslot = idx
+        x = embeddings(params, cfg, tokens, position_offset=idx)
+        qpos = idx + jnp.arange(t)[:, None]
+        kpos = jnp.arange(a_len)[None, :]
+        bias = jnp.where(kpos <= qpos, 0.0, NEG_INF)[None, None]
 
     # cache rides in the scan carry with in-place slab writes — see
     # models/gpt2.py:_forward_cached for the layout rationale
@@ -253,10 +270,10 @@ def _forward_cached(params, cfg: BlipTextConfig, tokens, cache: KVCache,
         k = linear(h_q, layer["self"]["wk"], layer["self"]["bk"]).reshape(b, t, heads, dh)
         v = linear(h_q, layer["self"]["wv"], layer["self"]["bv"]).reshape(b, t, heads, dh)
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k[None].astype(k_cache.dtype), (l, 0, idx, 0, 0)
+            k_cache, k[None].astype(k_cache.dtype), (l, 0, wslot, 0, 0)
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v[None].astype(v_cache.dtype), (l, 0, idx, 0, 0)
+            v_cache, v[None].astype(v_cache.dtype), (l, 0, wslot, 0, 0)
         )
         keys = jax.lax.dynamic_index_in_dim(k_cache, l, 0, keepdims=False)[:, :a_len]
         vals = jax.lax.dynamic_index_in_dim(v_cache, l, 0, keepdims=False)[:, :a_len]
@@ -338,6 +355,75 @@ def decoder_lm(
         init_cache=init_cache,
         prefill=prefill,
         decode_step=decode_step,
+        takes_token_ids=True,
+    )
+
+
+def serving_decoder_lm(params: dict, cfg: BlipTextConfig,
+                       prompt_ids, num_image_tokens: int):
+    """Continuous-batching adapter (decode/serving.py) for the BLIP decoder.
+
+    Unlike `decoder_lm`, which closes over ONE batch of image features,
+    this adapter treats the image features as the per-request prefix:
+    serving's prefill receives an [R, Tv, D] feature batch, computes that
+    batch's cross-attention K/V into the (small) cache, and runs the FIXED
+    decoder prompt (`prompt_ids`, e.g. the tokenized "a picture of" — the
+    reference's Gen-B prompt, sampling.py:288) through the self-attention
+    ring. scatter_refill swaps both the self-attn slabs and the
+    per-request cross K/V rows. Pass ServingEngine prefix_len =
+    num_image_tokens and prompt_len = len(prompt_ids).
+    """
+    prompt_ids = jnp.asarray(prompt_ids, jnp.int32).reshape(1, -1)
+
+    def init_cache(cfg_, batch, max_len, dtype=None):
+        dtype = jnp.float32 if dtype is None else dtype
+        l, h, dh = cfg.num_layers, cfg.num_heads, cfg.hidden_size // cfg.num_heads
+        shape = (l, batch, max_len, h, dh)
+        return KVCache(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            cross_k=jnp.zeros((l, batch, num_image_tokens, h, dh), dtype),
+            cross_v=jnp.zeros((l, batch, num_image_tokens, h, dh), dtype),
+            cross_bias=None, index=jnp.zeros((), jnp.int32),
+        )
+
+    def prefill(params_, cfg_, image_feats, cache):
+        ck, cv = _precompute_cross(params, cfg, image_feats)
+        cache = cache._replace(
+            cross_k=ck.astype(cache.cross_k.dtype),
+            cross_v=cv.astype(cache.cross_v.dtype),
+        )
+        ids = jnp.broadcast_to(prompt_ids, (image_feats.shape[0],
+                                            prompt_ids.shape[1]))
+        return _forward_cached(params, cfg, ids, cache)
+
+    def decode_step(params_, cfg_, token_ids, cache):
+        logits, cache = _forward_cached(params, cfg, token_ids, cache)
+        return logits[:, -1], cache
+
+    def decode_step_ring(params_, cfg_, token_ids, cache, pos, start):
+        logits, cache = _forward_cached(params, cfg, token_ids, cache,
+                                        ring=(pos, start))
+        return logits[:, -1], cache
+
+    def scatter_refill(cache, small, slots):
+        rp = refill_positions(cache.index, small.k.shape[2], cache.k.shape[2])
+        return cache._replace(
+            k=scatter_rows(cache.k, small.k, slots, rp, time_axis=2),
+            v=scatter_rows(cache.v, small.v, slots, rp, time_axis=2),
+            # the per-request image K/V swap whole rows (nothing rides
+            # the ring: cross-attention has no time axis of its own)
+            cross_k=cache.cross_k.at[:, slots].set(
+                small.cross_k.astype(cache.cross_k.dtype)),
+            cross_v=cache.cross_v.at[:, slots].set(
+                small.cross_v.astype(cache.cross_v.dtype)),
+        )
+
+    return SimpleNamespace(
+        init_cache=init_cache,
+        prefill=prefill,
+        decode_step=decode_step,
+        decode_step_ring=decode_step_ring,
+        scatter_refill=scatter_refill,
         takes_token_ids=True,
     )
 

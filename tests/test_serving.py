@@ -110,6 +110,43 @@ def test_serving_refill_and_ring_wrap_match_individual_runs(family, int8):
         assert got[req.request_id]["stopped"] == want_stopped
 
 
+def test_serving_blip_token_mode_matches_individual_runs():
+    """BLIP continuous batching (blip_text.serving_decoder_lm, token-id
+    mode): the per-request prefix is the image features (cross-attn K/V
+    swap at refill); a fixed decoder prompt occupies the ring. Each
+    request must match its solo static-engine run via decoder_lm."""
+    from clipcap_tpu.core.config import BlipTextConfig
+    from clipcap_tpu.models import blip_text
+
+    cfg = BlipTextConfig(vocab_size=83, hidden_size=32, num_layers=2,
+                         num_heads=4, intermediate_size=64,
+                         encoder_width=16, embed_dim=16)
+    params = blip_text.init(jax.random.PRNGKey(1), cfg)
+    tv, prompt = 5, [30, 11, 2]
+    rng = np.random.default_rng(6)
+    feats = [rng.normal(size=(tv, 16)).astype(np.float32) for _ in range(6)]
+    caps = [3, 9, 5, 12, 4, 2]
+    settings = dataclasses.replace(SETTINGS, eos_token_id=3)
+
+    lm = blip_text.serving_decoder_lm(params, cfg, prompt, num_image_tokens=tv)
+    eng = ServingEngine(lm, cfg, prefix_len=tv, prompt_len=len(prompt),
+                        settings=settings, slots=2, steps_per_sync=3,
+                        dtype=jnp.float32)
+    reqs = [Request(i, f, max_length=c)
+            for i, (f, c) in enumerate(zip(feats, caps))]
+    got = eng.serve(reqs, params)
+
+    for i, (f, c) in enumerate(zip(feats, caps)):
+        solo = blip_text.decoder_lm(params, cfg, jnp.asarray(f)[None])
+        ref = generate(
+            solo, params, cfg, jnp.asarray([prompt], jnp.int32),
+            dataclasses.replace(settings, max_length=c),
+        )
+        toks, length = jax.device_get((ref["tokens"][0], ref["lengths"][0]))
+        want = [int(t) for t in toks[: int(length)]]
+        assert got[i]["tokens"] == want, i
+
+
 def test_serving_sampled_path_matches_engine_rng_stream():
     """Same initial rng + no refills => the serving chunk scan consumes the
     identical per-step rng stream as engine.generate: sampled tokens (threshold
