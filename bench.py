@@ -681,6 +681,45 @@ def _bench_serving(cfg, params, slots: int = 2 * BATCH,
     }
 
 
+def _bench_beam(cfg, params, beam_size: int = 5) -> dict:
+    """Beam-search latency (decode/beam.py — the reference generate_beam
+    path, inference.py:70-148, which recomputes the full sequence per
+    token per beam; here KV-cached with per-step slab reorder). Batch-1
+    by reference contract; int8 weight streaming. Returns ms per caption
+    and per generated token."""
+    import jax
+    import jax.numpy as jnp
+
+    from clipcap_tpu.decode.beam import beam_search
+    from clipcap_tpu.models import gpt2
+
+    params_q = jax.jit(gpt2.quantize_params)(params)
+    prefix = jax.random.normal(
+        jax.random.PRNGKey(7), (1, PREFIX_LEN, cfg.n_embd), jnp.bfloat16
+    )
+
+    @jax.jit
+    def run(params_q, prefix):
+        out = beam_search(
+            gpt2.gpt2_int8, params_q, cfg, prefix, beam_size=beam_size,
+            max_new_tokens=NEW_TOKENS, stop_token_id=13,
+        )
+        return jnp.sum(out["tokens"]) + jnp.sum(out["scores"])
+
+    float(run(params_q, prefix))  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(params_q, prefix))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return {
+        "beam_size": beam_size,
+        "caption_latency_ms": round(ts[1] * 1000, 1),
+        "ms_per_token": round(ts[1] / NEW_TOKENS * 1000, 2),
+    }
+
+
 def _bench_single_caption_latency(cfg, params) -> float:
     """Serving latency: ONE caption (batch 1, int8 path) end to end —
     prefill + 32 greedy steps. BASELINE.md asks for p50 latency alongside
@@ -887,6 +926,7 @@ def main():
     t0_11b_cps = safe(_bench_t0_11b_int8_decode)
     spec = safe(_bench_speculative)
     serving = safe(_bench_serving, cfg, params)
+    beam = safe(_bench_beam, cfg, params)
     loader_rows_s = safe(_bench_native_loader)
 
     # null (not 0.0) when the headline phase failed: a trend reader must
@@ -932,6 +972,7 @@ def main():
                     "t0_11b_int8_captions_per_sec_b64": rnd(t0_11b_cps),
                     "speculative_b1_gpt2xl": spec,
                     "serving_continuous_batching": serving,
+                    "beam_search_gpt2xl_int8": beam,
                     "native_shard_loader_rows_per_sec": rnd(loader_rows_s),
                 },
             }

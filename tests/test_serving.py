@@ -301,6 +301,22 @@ def test_bench_serving_phase_smoke():
     assert out["static_engine_captions_per_sec"] > 0
 
 
+def test_bench_beam_phase_smoke():
+    """bench.py's _bench_beam at tiny shapes on CPU (same rationale as the
+    serving phase smoke)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    cfg = GPT2Config(vocab_size=128, n_positions=128, n_embd=32, n_layer=2,
+                     n_head=4)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    out = bench._bench_beam(cfg, params, beam_size=3)
+    assert out["caption_latency_ms"] > 0 and out["beam_size"] == 3
+
+
 def test_serving_rejects_unsupported_settings():
     with pytest.raises(ValueError, match="sentence-length"):
         ServingEngine(gpt2, CFG, prefix_len=P, slots=2,
