@@ -82,7 +82,8 @@ def _bench_decode_raw(cfg, params, prefix, int8: bool, batch: int = BATCH):
     return times[len(times) // 2]
 
 
-def _bench_engine_default(cfg, params, batch: int = 2 * BATCH):
+def _bench_engine_default(cfg, params, batch: int = 2 * BATCH,
+                          filter_method: str = "fused"):
     """decode/engine.generate with reference-default sampling, at the
     headline batch 512 — the fused Pallas filter+sampler
     (ops/pallas/fused_sampler.py) removed the per-step [B, V] filter
@@ -123,7 +124,10 @@ def _bench_engine_default(cfg, params, batch: int = 2 * BATCH):
         top_p=top_p_rows,
         repetition_penalty=1.2,
         stop_token_id=13,  # '.' in the GPT-2 vocab (reference inference.py:237)
-        # filter_method defaults to "fused": the Pallas filter+sampler
+        # "fused" = the Pallas filter+sampler (the benched default);
+        # "fused_step" additionally folds the repetition-penalty and
+        # eos passes into the same kernel (opt-in, measured separately)
+        filter_method=filter_method,
     )
 
     @jax.jit
@@ -910,6 +914,8 @@ def main():
                     batch=batch_int8)
     p50_engine, p50_pipeline = safe(_bench_engine_default, cfg, params,
                                     default=(None, None))
+    p50_engine_fs, _ = safe(_bench_engine_default, cfg, params,
+                            filter_method="fused_step", default=(None, None))
     single_ms = safe(_bench_single_caption_latency, cfg, params)
     vit_ips = safe(_bench_vit_encode)
     prepro_ips = safe(_bench_preprocess_e2e)
@@ -950,6 +956,7 @@ def main():
                     "bf16_batch": BATCH,
                     "p50_batch_latency_ms_bf16": rnd(p50_bf16 and p50_bf16 * 1000),
                     "engine_default_captions_per_sec": rnd(p50_engine and batch_int8 / p50_engine),
+                    "engine_fused_step_captions_per_sec": rnd(p50_engine_fs and batch_int8 / p50_engine_fs),
                     "engine_default_batch": batch_int8,
                     "engine_default_settings": "rep_penalty=1.2 top_p=sweep(0.1..0.9) stop='.' filter=fused, from prefix (same start as raw greedy)",
                     "pipeline_clip_to_caption_per_sec": rnd(p50_pipeline and batch_int8 / p50_pipeline),

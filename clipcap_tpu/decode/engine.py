@@ -276,37 +276,92 @@ def generate(
     prefill_logits, cache = lm.prefill(params, lm_cfg, prompt_embeds, cache)
     last_logits = prefill_logits[:, -1].astype(jnp.float32)
 
+    # "fused_step": run the ENTIRE per-step logit pipeline (raw eos
+    # logprob, min-length eos suppression, repetition penalty, temperature,
+    # filters, sampling) as one Pallas kernel on a single VMEM residency —
+    # the eos logsumexp and penalty passes are otherwise 2-3 more
+    # full-vocab HBM round-trips per step. Opt-in (the benched default
+    # stays "fused"); falls back to the threshold path wherever the fused
+    # sampler itself would (greedy, typ_p, sentence-length penalty, or a
+    # non-TPU backend), plus when the penalty/temperature are not static
+    # scalars (the kernel bakes them in as constants).
+    pen = settings.repetition_penalty
+    pen = 1.0 if pen in (None, 0.0) else pen
+    use_fused_step = (
+        settings.filter_method == "fused_step"
+        and not settings.greedy
+        and not _statically_active(settings.typ_p)
+        and not (settings.desired_sentence_length > 0
+                 and settings.stop_token_id is not None)
+        and isinstance(pen, (int, float))
+        and isinstance(settings.temperature, (int, float))
+        and jax.default_backend() == "tpu"
+    )
+
     def step_fn(carry, step):
         cache, last_logits, hist, hist_valid, stopped, stops, rng = carry
         rng, sample_key = jax.random.split(rng)
 
         logits = last_logits  # [B, V] f32
-        # raw (pre-filter) log P(eos) is the only Gen-B statistic needing
-        # the unfiltered distribution — one logsumexp pass, not a full
-        # [B, V] log_softmax materialization
-        if settings.eos_token_id is not None:
-            raw_eos_lp = (
-                logits[:, settings.eos_token_id]
-                - jax.scipy.special.logsumexp(logits, axis=-1)
+        if use_fused_step:
+            from ..ops.pallas.fused_sampler import fused_step_sample
+
+            appears = None
+            if pen != 1.0:
+                appears = S.token_occurrence_mask(
+                    hist, logits.shape[1], tokens_valid=hist_valid
+                )
+            suppress_eos = (
+                (step < min_len) if settings.eos_token_id is not None else None
             )
+            seed = jax.random.randint(
+                sample_key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            t = settings.temperature
+            next_token, alt_token, alt_prob, raw_eos_lp = fused_step_sample(
+                logits, top_k, top_p, seed,
+                appears=appears, penalty=float(pen),
+                temperature=float(t if t > 0 else 1.0),
+                eos_token_id=settings.eos_token_id,
+                suppress_eos=suppress_eos,
+                want_eos_lp=settings.eos_token_id is not None,
+                do_topk=_statically_active(settings.top_k),
+                do_topp=_statically_active(settings.top_p),
+                want_alt_prob=(not settings.greedy)
+                and settings.min_alternate_prob > 0,
+            )
+            next_token = next_token.astype(jnp.int32)
+            alt_token = alt_token.astype(jnp.int32)
         else:
-            raw_eos_lp = None
+            # raw (pre-filter) log P(eos) is the only Gen-B statistic
+            # needing the unfiltered distribution — one logsumexp pass,
+            # not a full [B, V] log_softmax materialization
+            if settings.eos_token_id is not None:
+                raw_eos_lp = (
+                    logits[:, settings.eos_token_id]
+                    - jax.scipy.special.logsumexp(logits, axis=-1)
+                )
+            else:
+                raw_eos_lp = None
 
-        # min-length EOS suppression on raw logits (reference sampling.py:205-206)
-        if settings.eos_token_id is not None:
-            suppress = step < min_len
-            logits = logits.at[:, settings.eos_token_id].set(
-                jnp.where(suppress, -jnp.inf, logits[:, settings.eos_token_id])
+            # min-length EOS suppression on raw logits (reference
+            # sampling.py:205-206)
+            if settings.eos_token_id is not None:
+                suppress = step < min_len
+                logits = logits.at[:, settings.eos_token_id].set(
+                    jnp.where(suppress, -jnp.inf,
+                              logits[:, settings.eos_token_id])
+                )
+
+            if settings.repetition_penalty not in (None, 0.0, 1.0):
+                logits = S.repetition_penalty(
+                    logits, hist, settings.repetition_penalty,
+                    tokens_valid=hist_valid
+                )
+
+            next_token, alt_token, alt_prob = filter_and_sample(
+                settings, logits, top_k, top_p, typ_p, sample_key, step
             )
-
-        if settings.repetition_penalty not in (None, 0.0, 1.0):
-            logits = S.repetition_penalty(
-                logits, hist, settings.repetition_penalty, tokens_valid=hist_valid
-            )
-
-        next_token, alt_token, alt_prob = filter_and_sample(
-            settings, logits, top_k, top_p, typ_p, sample_key, step
-        )
 
         # ---- completion logic -------------------------------------------------
         completed = jnp.zeros((b,), bool)

@@ -66,24 +66,54 @@ def _first_index_of_max(values, iota, vocab):
 
 def _sampler_kernel(
     seed_ref,  # SMEM (1, 1) int32
-    x_ref,     # VMEM (TB, V) f32 logits (already penalized / temp-scaled)
+    x_ref,     # VMEM (TB, V) f32 logits (already penalized / temp-scaled,
+    #            unless the fused-step prologue below is active)
     k_ref,     # VMEM (TB, 1) f32 resolved top-k (0 disables)
     p_ref,     # VMEM (TB, 1) f32 top-p (0 disables)
-    *rest,     # [noise_ref if has_noise,] nxt_ref, alt_ref, altp_ref, probs_scr
+    *rest,     # [appears_ref][suppress_ref][noise_ref] nxt/alt/altp[/eoslp] + scr
     do_topk: bool,
     do_topp: bool,
     want_alt_prob: bool,
     has_noise: bool,
     iters: int,
+    # ---- fused-step prologue (decode/engine.py "fused_step"): run the
+    # engine's pre-filter logit pipeline on the VMEM-resident tile instead
+    # of as separate full-vocab XLA passes. Order matches engine.generate:
+    # raw eos logprob -> min-length eos suppression -> repetition penalty
+    # -> temperature -> filters -> sample.
+    penalty: float = 1.0,       # static; 1.0 disables (appears_ref absent)
+    temperature: float = 1.0,   # static; 1.0 is a no-op
+    eos_token_id=None,          # static int; None = no eos handling
+    has_suppress: bool = False, # suppress_ref present ([TB,1] f32, >0 = mask)
+    want_eos_lp: bool = False,  # emit raw log P(eos) (pre-penalty)
 ):
-    if has_noise:
-        noise_ref, nxt_ref, alt_ref, altp_ref, probs_scr = rest
-    else:
-        noise_ref = None
-        nxt_ref, alt_ref, altp_ref, probs_scr = rest
+    rest = list(rest)
+    appears_ref = rest.pop(0) if penalty != 1.0 else None
+    suppress_ref = rest.pop(0) if has_suppress else None
+    noise_ref = rest.pop(0) if has_noise else None
+    eoslp_ref = rest.pop(3) if want_eos_lp else None
+    nxt_ref, alt_ref, altp_ref, probs_scr = rest
     tb, vocab = x_ref.shape
     x = x_ref[:]
     iota = jax.lax.broadcasted_iota(jnp.int32, (tb, vocab), 1)
+
+    if want_eos_lp:
+        # raw (pre-everything) log P(eos): one in-VMEM logsumexp
+        m0 = jnp.max(x, axis=-1, keepdims=True)
+        lse = m0 + jnp.log(jnp.sum(jnp.exp(x - m0), axis=-1, keepdims=True))
+        x_eos = jnp.sum(
+            jnp.where(iota == eos_token_id, x, 0.0), axis=-1, keepdims=True
+        )
+        eoslp_ref[:] = x_eos - lse
+    if has_suppress:
+        x = jnp.where(
+            (iota == eos_token_id) & (suppress_ref[:] > 0), NEG_INF, x
+        )
+    if penalty != 1.0:
+        hit = appears_ref[:] != 0
+        x = jnp.where(hit, jnp.where(x < 0, x * penalty, x / penalty), x)
+    if temperature != 1.0:
+        x = x * (1.0 / temperature)
 
     hi0 = jnp.max(x, axis=-1, keepdims=True)
 
@@ -239,6 +269,120 @@ def fused_filter_sample(
         interpret=interpret,
     )(*args)
     return nxt[:b, 0], alt[:b, 0], altp[:b, 0]
+
+
+def fused_step_sample(
+    logits: jnp.ndarray,  # [B, V] f32 RAW step logits
+    top_k,
+    top_p,
+    seed: jnp.ndarray,
+    *,
+    appears: Optional[jnp.ndarray] = None,  # [B, V] bool/int8 token-history mask
+    penalty: float = 1.0,
+    temperature: float = 1.0,
+    eos_token_id: Optional[int] = None,
+    suppress_eos: Optional[jnp.ndarray] = None,  # [B] bool (min-length gate)
+    want_eos_lp: bool = False,
+    do_topk: bool = True,
+    do_topp: bool = True,
+    want_alt_prob: bool = True,
+    gumbel_noise: Optional[jnp.ndarray] = None,
+    iters: int = DEFAULT_ITERS,
+    block_rows: int = 8,
+    interpret: bool = False,
+):
+    """fused_filter_sample plus the engine's PRE-filter logit pipeline
+    (raw eos logprob, min-length eos suppression, CTRL repetition penalty,
+    temperature) on the same single VMEM residency — replacing what are
+    otherwise 2-3 more full-vocab HBM passes per decode step. `penalty`
+    and `temperature` are static floats (the engine's settings are
+    scalars); `appears` is the ops/sampling.repetition_penalty occurrence
+    mask, built by the caller's cheap [B, T]-token scatter.
+
+    Returns (next [B], alt [B], alt_prob [B], eos_lp [B] or None).
+    """
+    if penalty != 1.0 and appears is None:
+        raise ValueError("penalty != 1 requires the appears mask")
+    if (want_eos_lp or suppress_eos is not None) and eos_token_id is None:
+        raise ValueError("eos handling requires eos_token_id")
+    b, v = logits.shape
+    tb = min(block_rows, b)
+    pad = (-b) % tb
+    x = logits.astype(jnp.float32)
+    kk = resolve_top_k(top_k, b, v)[:, None]
+    pp = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))[:, None]
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        kk = jnp.pad(kk, ((0, pad), (0, 0)))
+        pp = jnp.pad(pp, ((0, pad), (0, 0)))
+    rows = b + pad
+    has_noise = gumbel_noise is not None
+    has_suppress = suppress_eos is not None
+
+    kernel = functools.partial(
+        _sampler_kernel,
+        do_topk=do_topk,
+        do_topp=do_topp,
+        want_alt_prob=want_alt_prob,
+        has_noise=has_noise,
+        iters=iters,
+        penalty=float(penalty),
+        temperature=float(temperature),
+        eos_token_id=eos_token_id,
+        has_suppress=has_suppress,
+        want_eos_lp=want_eos_lp,
+    )
+    grid = (rows // tb,)
+    row_spec = pl.BlockSpec((tb, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    big_spec = pl.BlockSpec((tb, v), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [big_spec, row_spec, row_spec]
+    args = [jnp.asarray(seed, jnp.int32).reshape(1, 1), x, kk, pp]
+    if penalty != 1.0:
+        a = jnp.asarray(appears, jnp.int8)
+        if pad:
+            a = jnp.pad(a, ((0, pad), (0, 0)))
+        in_specs.append(
+            pl.BlockSpec((tb, v), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(a)
+    if has_suppress:
+        s = jnp.asarray(suppress_eos, jnp.float32)[:, None]
+        if pad:
+            s = jnp.pad(s, ((0, pad), (0, 0)))
+        in_specs.append(row_spec)
+        args.append(s)
+    if has_noise:
+        noise = jnp.asarray(gumbel_noise, jnp.float32)
+        if pad:
+            noise = jnp.pad(noise, ((0, pad), (0, 0)))
+        in_specs.append(big_spec)
+        args.append(noise)
+
+    out_specs = [row_spec, row_spec, row_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+        jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+        jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+    ]
+    if want_eos_lp:
+        out_specs.append(row_spec)
+        out_shape.append(jax.ShapeDtypeStruct((rows, 1), jnp.float32))
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((tb, v), jnp.float32)],
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    nxt, alt, altp = out[0][:b, 0], out[1][:b, 0], out[2][:b, 0]
+    eos_lp = out[3][:b, 0] if want_eos_lp else None
+    return nxt, alt, altp, eos_lp
 
 
 def fused_filter(

@@ -320,6 +320,25 @@ def typical_filter(
     return jnp.where(remove, filter_value, logits)
 
 
+def token_occurrence_mask(
+    tokens: jnp.ndarray,  # [B, T] token ids
+    vocab: int,
+    tokens_valid: Optional[jnp.ndarray] = None,  # [B, T] bool
+) -> jnp.ndarray:
+    """[B, V] bool: which vocab ids appear in each row's (valid) tokens.
+
+    The repetition penalty's occurrence scatter, shared with the fused
+    Pallas step sampler (ops/pallas/fused_sampler.fused_step_sample),
+    which applies the penalty in-kernel on the same mask."""
+    batch = tokens.shape[0]
+    if tokens_valid is None:
+        tokens_valid = jnp.ones(tokens.shape, dtype=bool)
+    appears = jnp.zeros((batch, vocab), dtype=bool)
+    safe_tokens = jnp.clip(tokens, 0, vocab - 1)
+    batch_idx = jnp.arange(batch)[:, None]
+    return appears.at[batch_idx, safe_tokens].max(tokens_valid)
+
+
 def repetition_penalty(
     logits: jnp.ndarray,  # [B, V]
     tokens: jnp.ndarray,  # [B, T] already-generated token ids
@@ -334,14 +353,7 @@ def repetition_penalty(
     """
     batch, vocab = logits.shape
     logits = logits.astype(jnp.float32)
-    if tokens_valid is None:
-        tokens_valid = jnp.ones(tokens.shape, dtype=bool)
-
-    appears = jnp.zeros((batch, vocab), dtype=bool)
-    safe_tokens = jnp.clip(tokens, 0, vocab - 1)
-    batch_idx = jnp.arange(batch)[:, None]
-    appears = appears.at[batch_idx, safe_tokens].max(tokens_valid)
-
+    appears = token_occurrence_mask(tokens, vocab, tokens_valid)
     pen = _per_row(penalty, batch)[:, None]
     penalized = jnp.where(logits < 0, logits * pen, logits / pen)
     return jnp.where(appears, penalized, logits)

@@ -88,6 +88,77 @@ def test_fused_sample_singleton_kept_set_alt_prob_zero(rng):
     assert float(ap[0]) == 0.0
 
 
+def test_fused_step_sample_matches_xla_pipeline(rng):
+    """fused_step_sample's in-kernel prologue (raw eos logprob -> min-length
+    eos suppression -> repetition penalty -> temperature) + filter + top-2
+    must match the engine's XLA op chain bit-for-bit with injected noise."""
+    B, V, EOS, PEN, TEMP = 6, 512, 9, 1.2, 0.9
+    logits = jnp.asarray(rng.normal(size=(B, V)).astype(np.float32) * 3)
+    p = jnp.asarray([0.0, 0.1, 0.3, 0.5, 0.8, 0.95], jnp.float32)
+    k = jnp.asarray([0.0, 5.0, 0.25, 0.0, 100.0, 3.0], jnp.float32)
+    hist = jnp.asarray(rng.integers(0, V, (B, 7)), jnp.int32)
+    hist_valid = jnp.asarray(rng.random((B, 7)) < 0.7)
+    suppress = jnp.asarray([True, False, True, False, False, True])
+    g = jnp.asarray(rng.gumbel(size=(B, V)).astype(np.float32))
+
+    appears = S.token_occurrence_mask(hist, V, tokens_valid=hist_valid)
+    nxt, alt, ap, eos_lp = F.fused_step_sample(
+        logits, k, p, seed=jnp.int32(3), appears=appears, penalty=PEN,
+        temperature=TEMP, eos_token_id=EOS, suppress_eos=suppress,
+        want_eos_lp=True, gumbel_noise=g,
+        interpret=pltpu.InterpretParams(), block_rows=2,
+    )
+
+    # XLA reference: the exact engine.generate op order
+    want_eos_lp = logits[:, EOS] - jax.scipy.special.logsumexp(logits, axis=-1)
+    x = logits.at[:, EOS].set(jnp.where(suppress, -jnp.inf, logits[:, EOS]))
+    x = S.repetition_penalty(x, hist, PEN, tokens_valid=hist_valid)
+    x = x / TEMP
+    filt = S.top_k_top_p_filter_threshold(x, k, p)
+    _, idx = jax.lax.top_k(jnp.asarray(filt) + g, 2)
+    probs = jax.nn.softmax(filt, axis=-1)
+    want_ap = np.take_along_axis(
+        np.asarray(probs), np.asarray(idx[:, 1:2]), axis=-1
+    )[:, 0]
+
+    np.testing.assert_allclose(np.asarray(eos_lp), np.asarray(want_eos_lp),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(nxt), np.asarray(idx[:, 0]))
+    np.testing.assert_array_equal(np.asarray(alt), np.asarray(idx[:, 1]))
+    np.testing.assert_allclose(np.asarray(ap), want_ap, rtol=1e-5, atol=1e-7)
+
+
+def test_engine_fused_step_falls_back_on_cpu(rng):
+    """filter_method='fused_step' must be trajectory-identical to
+    'threshold' off-TPU, like 'fused'."""
+    from clipcap_tpu.core.config import GPT2Config
+    from clipcap_tpu.decode import engine
+    from clipcap_tpu.models import gpt2
+
+    cfg = GPT2Config(n_embd=64, n_layer=2, n_head=4, vocab_size=97,
+                     n_positions=64)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    prefix = jax.random.normal(jax.random.PRNGKey(1), (3, 5, 64))
+    kw = dict(top_p=0.8, repetition_penalty=1.2, min_length=2, max_length=10,
+              eos_token_id=5)
+    a = engine.generate(
+        gpt2, params, cfg, prefix,
+        engine.GenerationSettings(max_new_tokens=8,
+                                  filter_method="fused_step", **kw),
+        rng=jax.random.PRNGKey(2),
+    )
+    b = engine.generate(
+        gpt2, params, cfg, prefix,
+        engine.GenerationSettings(max_new_tokens=8,
+                                  filter_method="threshold", **kw),
+        rng=jax.random.PRNGKey(2),
+    )
+    np.testing.assert_array_equal(np.asarray(a["tokens"]),
+                                  np.asarray(b["tokens"]))
+    np.testing.assert_allclose(np.asarray(a["eos_logprob"]),
+                               np.asarray(b["eos_logprob"]), rtol=1e-5)
+
+
 def test_engine_fused_default_falls_back_on_cpu(rng):
     """filter_method='fused' (the default) must be trajectory-identical to
     'threshold' off-TPU: CPU goldens stay bit-stable."""
