@@ -170,6 +170,36 @@ def test_serving_sampled_path_matches_engine_rng_stream():
         assert got[req.request_id]["tokens"] == want
 
 
+def test_serving_genb_completion_features_match_engine():
+    """The Gen-B completion knobs (min-length EOS suppression, force-EOS
+    early stop, alternate-token continuation) must behave identically to
+    engine.generate under the replayed rng stream (no refills)."""
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    settings = GenerationSettings(
+        max_new_tokens=12, greedy=False, top_p=0.95, temperature=1.1,
+        # random ~96-vocab logits put log P(eos) near -4.6: -4.8 makes the
+        # force-EOS early stop actually fire for some rows (asserted below)
+        eos_token_id=EOS, min_length=3, force_eos_log_prob=-4.8,
+        min_alternate_prob=0.01, stop_on_special=(11,),
+    )
+    reqs = _requests(4, seed=7)
+    eng = ServingEngine(gpt2, CFG, prefix_len=P, settings=settings, slots=4,
+                        steps_per_sync=5, dtype=jnp.float32)
+    got = eng.serve(reqs, params, rng=jax.random.PRNGKey(9))
+
+    prompts = jnp.asarray(np.stack([r.prefix_embeds for r in reqs]))
+    ref = generate(gpt2, params, CFG, prompts, settings,
+                   rng=jax.random.PRNGKey(9))
+    toks, lens, stopped = jax.device_get(
+        (ref["tokens"], ref["lengths"], ref["stopped"])
+    )
+    assert (lens < 12).any(), "no row stopped early; the test is inert"
+    for i, req in enumerate(reqs):
+        want = [int(t) for t in toks[i, : int(lens[i])]]
+        assert got[req.request_id]["tokens"] == want, req.request_id
+        assert got[req.request_id]["stopped"] == bool(stopped[i])
+
+
 def test_serving_prefix_pool_matches_host_path():
     """Device-resident prefix pool (int row-index requests) must produce the
     same tokens as shipping the same prefixes from the host."""
