@@ -34,8 +34,10 @@ sample pipeline is the shared engine.filter_and_sample (same fused-Pallas
 /threshold/sort selection), and completion (EOS, min/max length, stop-
 token counting, special-token stops, force-EOS, alternate-token
 continuation) mirrors engine.generate step for step with the scan counter
-replaced by each slot's own generated-token count. The sentence-length
-penalty is the one exclusion (it needs the batch-global step counter,
+replaced by each slot's own counters (emitted tokens for the length
+logic, steps-since-refill for the scan bound — they differ when the
+alternate-token continuation rescues a suppressed completion). The
+sentence-length penalty is the one exclusion (it needs the batch-global step counter,
 which has no meaning across slots at different points in their requests).
 
 Supported LMs: any module exposing `decode_step_ring` + `scatter_refill`:
@@ -84,6 +86,7 @@ class ServingState(NamedTuple):
     start: jnp.ndarray  # [B] i32 global timestep of each row's window start
     pos: jnp.ndarray  # [B] i32 logical position of the NEXT fed token
     gen_count: jnp.ndarray  # [B] i32 tokens emitted for the current request
+    age: jnp.ndarray  # [B] i32 decode steps taken since refill (engine scan bound)
     hist: jnp.ndarray  # [B, N] i32 generated-token history (rep penalty)
     hist_valid: jnp.ndarray  # [B, N] bool
     stopped: jnp.ndarray  # [B] bool (incl. the max_new_tokens cap)
@@ -201,6 +204,7 @@ class ServingEngine:
             start=jnp.zeros((b,), jnp.int32),
             pos=jnp.full((b,), self.prompt_len, jnp.int32),
             gen_count=jnp.zeros((b,), jnp.int32),
+            age=jnp.zeros((b,), jnp.int32),
             hist=jnp.zeros((b, n), jnp.int32),
             hist_valid=jnp.zeros((b, n), bool),
             stopped=~live,
@@ -232,7 +236,10 @@ class ServingEngine:
                     logits[:, settings.eos_token_id]
                     - jax.scipy.special.logsumexp(logits, axis=-1)
                 )
-                suppress_eos = st.gen_count < min_len
+                # the engine's min-length gate compares its SCAN counter
+                # (decode steps), not emitted tokens — the two differ once
+                # an alternate-rescued row runs with suppressed emission
+                suppress_eos = st.age < min_len
                 logits = logits.at[:, settings.eos_token_id].set(
                     jnp.where(
                         suppress_eos, -jnp.inf, logits[:, settings.eos_token_id]
@@ -255,7 +262,9 @@ class ServingEngine:
             over_length = jnp.zeros((b,), bool)
             if settings.eos_token_id is not None:
                 completed |= next_token == settings.eos_token_id
-                over_length = st.max_len <= st.gen_count
+                # engine parity: length comparisons use its scan counter
+                # == this slot's age (not emitted tokens; see min_len note)
+                over_length = st.max_len <= st.age
                 completed |= over_length
                 if settings.force_eos_log_prob < 0:
                     force_eos = raw_eos_lp > settings.force_eos_log_prob
@@ -264,7 +273,7 @@ class ServingEngine:
                 if settings.min_alternate_prob > 0 and not settings.greedy:
                     cont = (
                         completed
-                        & (st.max_len > st.gen_count)
+                        & (st.max_len > st.age)
                         & (alt_token != settings.eos_token_id)
                         & (alt_prob > settings.min_alternate_prob)
                     )
@@ -292,8 +301,15 @@ class ServingEngine:
                 st.hist_valid[row_ix, hpos] | emit_valid
             )
             gen_count = st.gen_count + emit_valid.astype(jnp.int32)
+            # the engine's lifetime bound is its SCAN length — n steps, not
+            # n emitted tokens. The two differ when a completion is rescued
+            # by the alternate-token continuation after a force-EOS
+            # suppression: the row continues without emitting. Bounding by
+            # gen_count alone would let such a row outlive its ring window
+            # (> prompt+n steps) and start attending overwritten entries.
+            age = st.age + (st.live & ~st.stopped).astype(jnp.int32)
             nat_stopped = st.nat_stopped | (completed & ~st.stopped)
-            stopped = st.stopped | completed | (gen_count >= n)
+            stopped = st.stopped | completed | (age >= n)
 
             if self.token_mode:
                 step_in = emitted[:, None]
@@ -318,6 +334,7 @@ class ServingEngine:
                 start=st.start,
                 pos=pos,
                 gen_count=gen_count,
+                age=age,
                 hist=hist,
                 hist_valid=hist_valid,
                 stopped=stopped,
@@ -353,6 +370,7 @@ class ServingEngine:
             start=put(state.start, jnp.full((r,), idx - self.prompt_len)),
             pos=put(state.pos, jnp.full((r,), self.prompt_len, jnp.int32)),
             gen_count=put(state.gen_count, jnp.zeros((r,), jnp.int32)),
+            age=put(state.age, jnp.zeros((r,), jnp.int32)),
             hist=put(state.hist, jnp.zeros((r,) + state.hist.shape[1:],
                                            state.hist.dtype)),
             hist_valid=put(state.hist_valid,
