@@ -181,6 +181,7 @@ def test_serving_genb_completion_features_match_engine():
         # force-EOS early stop actually fire for some rows (asserted below)
         eos_token_id=EOS, min_length=3, force_eos_log_prob=-4.8,
         min_alternate_prob=0.01, stop_on_special=(11,),
+        stop_token_id=5, max_stops=2,
     )
     reqs = _requests(4, seed=7)
     eng = ServingEngine(gpt2, CFG, prefix_len=P, settings=settings, slots=4,
