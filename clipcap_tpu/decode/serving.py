@@ -385,8 +385,30 @@ class ServingEngine:
 
     # ---- host loop ---------------------------------------------------------
 
+    def warmup(self, params, embed_dim: Optional[int] = None):
+        """Compile every executable (init-prefill, decode chunk, all refill
+        sizes) against dummy data so no request stream pays a compile.
+        embed_dim defaults to the LM embedding width; pass it explicitly
+        for token-id adapters whose prefix rows are encoder features of a
+        different width."""
+        if embed_dim is None:
+            embed_dim = self.lm.embedding_size(params)
+        b = self.slots
+        zeros = jnp.zeros((b, self.prefix_len, embed_dim), self.dtype)
+        live = jnp.ones((b,), bool)
+        caps = jnp.full((b,), self.settings.max_new_tokens, jnp.int32)
+        state = self._init_fn(params, zeros, live, caps, jax.random.PRNGKey(0))
+        state, _, _ = self._chunk_fn(params, state)
+        for r in self._refill_sizes:
+            state = self._refill_jit(
+                r, params, state, zeros[:r],
+                jnp.arange(r, dtype=jnp.int32), caps[:r],
+            )
+        jax.block_until_ready(state.stopped)
+        return self
+
     def serve(self, requests: Iterable[Request], params, rng=None,
-              prefix_pool=None) -> dict:
+              prefix_pool=None, on_result=None) -> dict:
         """Run every request to completion; returns {request_id: result}.
 
         result = {"tokens": [int], "length": int, "stopped": bool,
@@ -401,6 +423,10 @@ class ServingEngine:
         `prefix_pool`: optional [n, P, D] DEVICE array; each request's
         prefix_embeds is then an int row index and prefix batches are
         gathered on device (no per-refill host upload).
+
+        `on_result`: optional callback (request_id, result) fired the
+        moment each request is harvested — results stream out in
+        completion order instead of waiting for the whole batch.
         """
         settings = self.settings
         b, p = self.slots, self.prefix_len
@@ -476,6 +502,8 @@ class ServingEngine:
                     }
                     slot_req[slot] = None
                     bufs[slot] = []
+                    if on_result is not None:
+                        on_result(req.request_id, results[req.request_id])
 
             while queue:
                 free = [s for s in range(b) if slot_req[s] is None]

@@ -348,6 +348,24 @@ def test_bench_beam_phase_smoke():
     assert out["caption_latency_ms"] > 0 and out["beam_size"] == 3
 
 
+def test_serving_warmup_and_streaming_results():
+    """warmup() precompiles every executable; on_result streams each
+    request out at harvest time, in completion order, with the same
+    payloads as the returned dict."""
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(gpt2, CFG, prefix_len=P, settings=SETTINGS, slots=2,
+                        steps_per_sync=4, dtype=jnp.float32)
+    eng.warmup(params)
+    streamed = []
+    reqs = _requests(5, seed=8, caps=[4, 9, 2, 7, 5])
+    got = eng.serve(reqs, params,
+                    on_result=lambda rid, res: streamed.append((rid, res)))
+    assert len(streamed) == 5
+    assert {rid for rid, _ in streamed} == set(got)
+    for rid, res in streamed:
+        assert res is got[rid]
+
+
 def test_serving_rejects_unsupported_settings():
     with pytest.raises(ValueError, match="sentence-length"):
         ServingEngine(gpt2, CFG, prefix_len=P, slots=2,
