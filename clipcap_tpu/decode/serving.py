@@ -427,11 +427,25 @@ class ServingEngine:
         `on_result`: optional callback (request_id, result) fired the
         moment each request is harvested — results stream out in
         completion order instead of waiting for the whole batch.
+
+        `requests` may be any iterable, including a lazy generator: it is
+        consumed FIFO and pulled only as slots free up, so an online
+        producer can keep generating while earlier requests decode.
         """
         settings = self.settings
         b, p = self.slots, self.prefix_len
-        queue = list(requests)
-        queue.reverse()  # pop() from the end == FIFO service order
+        req_iter = iter(requests)
+        buffered: list = []  # look-ahead pulled from req_iter, FIFO
+
+        def pull(n: int) -> int:
+            """Ensure up to n requests are buffered; returns len(buffered)."""
+            while len(buffered) < n:
+                try:
+                    buffered.append(next(req_iter))
+                except StopIteration:
+                    break
+            return len(buffered)
+
         if rng is None:
             rng = jax.random.PRNGKey(0)
 
@@ -463,7 +477,8 @@ class ServingEngine:
             return req.max_length if req.max_length is not None else default_cap
 
         # ---- initial fill
-        first = [queue.pop() if queue else None for _ in range(b)]
+        pull(b)
+        first = [buffered.pop(0) if buffered else None for _ in range(b)]
         if all(req is None for req in first):
             return {}
         live = np.array([req is not None for req in first])
@@ -505,15 +520,15 @@ class ServingEngine:
                     if on_result is not None:
                         on_result(req.request_id, results[req.request_id])
 
-            while queue:
+            while pull(self._refill_sizes[-1]):
                 free = [s for s in range(b) if slot_req[s] is None]
                 r = 0
                 for k in self._refill_sizes:
-                    if k <= min(len(free), len(queue)):
+                    if k <= min(len(free), len(buffered)):
                         r = k
                 if r == 0:
                     break
-                batch = [queue.pop() for _ in range(r)]
+                batch = [buffered.pop(0) for _ in range(r)]
                 caps = np.array([req_cap(req) for req in batch], np.int32)
                 slots_arr = np.array(free[:r], np.int32)
                 now = time.time()

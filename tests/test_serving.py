@@ -348,6 +348,30 @@ def test_bench_beam_phase_smoke():
     assert out["caption_latency_ms"] > 0 and out["beam_size"] == 3
 
 
+def test_serving_lazy_request_generator():
+    """serve() pulls from a generator only as slots free: results match
+    the eager-list serve, and the producer is never drained ahead of
+    capacity by more than the refill look-ahead."""
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    reqs = _requests(6, seed=10, caps=[4, 9, 2, 7, 5, 3])
+    eng = ServingEngine(gpt2, CFG, prefix_len=P, settings=SETTINGS, slots=2,
+                        steps_per_sync=3, dtype=jnp.float32)
+    want = eng.serve(list(reqs), params)
+
+    pulled = []
+
+    def producer():
+        for r in reqs:
+            pulled.append(r.request_id)
+            yield r
+
+    got = eng.serve(producer(), params)
+    assert pulled == [r.request_id for r in reqs]  # FIFO, fully consumed
+    for r in reqs:
+        g, w = got[r.request_id], want[r.request_id]
+        assert (g["tokens"], g["stopped"]) == (w["tokens"], w["stopped"])
+
+
 def test_serving_warmup_and_streaming_results():
     """warmup() precompiles every executable; on_result streams each
     request out at harvest time, in completion order, with the same
