@@ -872,12 +872,49 @@ def _bench_train_step(batch: int = 128, seq: int = 40,
     return 1.0 / dt, batch * seq / dt, mfu
 
 
+def _relay_alive(timeout_s: int = 360) -> bool:
+    """Fail fast when the axon relay is wedged (it can stall for hours —
+    CLAUDE.md): probe one trivial device op in a SUBPROCESS with a hard
+    timeout, so a dead relay costs one timeout instead of hanging the
+    whole bench (the driver must always get its one JSON line)."""
+    import subprocess
+    import sys
+
+    # 3 attempts: a healthy relay answers the first in well under a
+    # minute, and the known occasional single-process boot wedge clears
+    # on retry — only a real outage burns all three timeouts
+    for _ in range(3):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.sum(jnp.ones((8, 8)))))"],
+                timeout=timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from clipcap_tpu.core.config import GPT2Config
     from clipcap_tpu.models import gpt2
+
+    if not _relay_alive():
+        print(json.dumps({
+            "metric": "gpt2-xl_greedy_decode_throughput",
+            "value": None,
+            "unit": "captions/sec/chip",
+            "vs_baseline": None,
+            "detail": {"error": "TPU relay unreachable (device-op probe "
+                                "timed out); see CLAUDE.md relay-outage note"},
+        }))
+        return
 
     cfg = GPT2Config.variant("gpt2-xl")
     params = jax.jit(lambda k: gpt2.init(k, cfg, dtype=jnp.bfloat16))(
