@@ -314,6 +314,38 @@ def test_serving_data_parallel_matches_single_device():
             req.request_id
 
 
+def test_serving_tensor_parallel_gptj_matches_single_device():
+    """TP serving (parallel/tp.py constrain_cache as the serving
+    cache_constraint): GPT-J heads + ring KV sharded over `model`, batch
+    over `data` — results match the unconstrained serve across refills."""
+    from clipcap_tpu.core.mesh import MeshSpec, make_mesh
+    from clipcap_tpu.parallel.tp import gptj_decode_shardings
+
+    cfg = GPTJConfig(vocab_size=96, n_positions=96, n_embd=32, n_layer=2,
+                     n_head=4, rotary_dim=4)
+    params = gptj.init(jax.random.PRNGKey(0), cfg)
+    caps = [3, 9, 5, 12, 7, 4]
+    reqs = _requests(6, seed=11, caps=caps)
+    want = ServingEngine(
+        gptj, cfg, prefix_len=P, settings=SETTINGS, slots=4,
+        steps_per_sync=4, dtype=jnp.float32,
+    ).serve(reqs, params)
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    sh = gptj_decode_shardings(mesh, params)
+    with mesh:
+        sp = jax.device_put(params, sh.params)
+        got = ServingEngine(
+            gptj, cfg, prefix_len=P, settings=SETTINGS, slots=4,
+            steps_per_sync=4, dtype=jnp.float32,
+            cache_constraint=sh.constrain_cache,
+        ).serve(reqs, sp)
+    for req in reqs:
+        g, w = got[req.request_id], want[req.request_id]
+        assert (g["tokens"], g["stopped"]) == (w["tokens"], w["stopped"]), \
+            req.request_id
+
+
 def test_bench_serving_phase_smoke():
     """bench.py's _bench_serving must run end to end (tiny shapes, CPU):
     a bug here would otherwise surface only in the round-end TPU bench."""
