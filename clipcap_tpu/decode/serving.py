@@ -102,8 +102,8 @@ class ServingEngine:
 
     Build once per (lm, settings, batch geometry); `serve()` any number of
     request streams. Every executable (init-prefill, K-step decode chunk,
-    the log2(refill_size)+1 refill sizes) has fixed shapes, so nothing
-    recompiles between streams.
+    one refill per ladder size) has fixed shapes, so nothing recompiles
+    between streams; `warmup()` precompiles them all up front.
     """
 
     def __init__(
