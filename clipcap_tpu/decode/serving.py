@@ -62,7 +62,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import sampling as S
-from .engine import BIG, GenerationSettings, _rows, filter_and_sample
+from .engine import (BIG, GenerationSettings, _rows, _statically_active,
+                     filter_and_sample)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -226,35 +227,82 @@ class ServingEngine:
         typ_p = _rows(settings.typ_p, b)
         row_ix = jnp.arange(b)
 
+        # "fused_step": the whole pre-filter pipeline in the Pallas sampler
+        # kernel — same opt-in + fallback rules as engine.generate (the
+        # ctor already guarantees scalar settings here)
+        pen = settings.repetition_penalty
+        pen = 1.0 if pen in (None, 0.0) else pen
+        use_fused_step = (
+            settings.filter_method == "fused_step"
+            and not settings.greedy
+            and not _statically_active(settings.typ_p)
+            and isinstance(pen, (int, float))
+            and isinstance(settings.temperature, (int, float))
+            and jax.default_backend() == "tpu"
+        )
+
         def step_fn(carry, _):
             st = carry
             rng, sample_key = jax.random.split(st.rng)
             logits = st.last_logits
 
-            if settings.eos_token_id is not None:
-                raw_eos_lp = (
-                    logits[:, settings.eos_token_id]
-                    - jax.scipy.special.logsumexp(logits, axis=-1)
-                )
-                # the engine's min-length gate compares its SCAN counter
-                # (decode steps), not emitted tokens — the two differ once
-                # an alternate-rescued row runs with suppressed emission
-                suppress_eos = st.age < min_len
-                logits = logits.at[:, settings.eos_token_id].set(
-                    jnp.where(
-                        suppress_eos, -jnp.inf, logits[:, settings.eos_token_id]
+            if use_fused_step:
+                from ..ops.pallas.fused_sampler import fused_step_sample
+
+                appears = None
+                if pen != 1.0:
+                    appears = S.token_occurrence_mask(
+                        st.hist, logits.shape[1], tokens_valid=st.hist_valid
                     )
+                seed = jax.random.randint(
+                    sample_key, (), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
                 )
-
-            if settings.repetition_penalty not in (None, 0.0, 1.0):
-                logits = S.repetition_penalty(
-                    logits, st.hist, settings.repetition_penalty,
-                    tokens_valid=st.hist_valid,
+                t = settings.temperature
+                next_token, alt_token, alt_prob, raw_eos_lp = fused_step_sample(
+                    logits, top_k, top_p, seed,
+                    appears=appears, penalty=float(pen),
+                    temperature=float(t if t > 0 else 1.0),
+                    eos_token_id=settings.eos_token_id,
+                    suppress_eos=(
+                        (st.age < min_len)
+                        if settings.eos_token_id is not None else None
+                    ),
+                    want_eos_lp=settings.eos_token_id is not None,
+                    do_topk=_statically_active(settings.top_k),
+                    do_topp=_statically_active(settings.top_p),
+                    want_alt_prob=(not settings.greedy)
+                    and settings.min_alternate_prob > 0,
                 )
+                next_token = next_token.astype(jnp.int32)
+                alt_token = alt_token.astype(jnp.int32)
+            else:
+                if settings.eos_token_id is not None:
+                    raw_eos_lp = (
+                        logits[:, settings.eos_token_id]
+                        - jax.scipy.special.logsumexp(logits, axis=-1)
+                    )
+                    # the engine's min-length gate compares its SCAN counter
+                    # (decode steps), not emitted tokens — the two differ
+                    # once an alternate-rescued row runs with suppressed
+                    # emission
+                    suppress_eos = st.age < min_len
+                    logits = logits.at[:, settings.eos_token_id].set(
+                        jnp.where(
+                            suppress_eos, -jnp.inf,
+                            logits[:, settings.eos_token_id],
+                        )
+                    )
 
-            next_token, alt_token, alt_prob = filter_and_sample(
-                settings, logits, top_k, top_p, typ_p, sample_key, step=0
-            )
+                if settings.repetition_penalty not in (None, 0.0, 1.0):
+                    logits = S.repetition_penalty(
+                        logits, st.hist, settings.repetition_penalty,
+                        tokens_valid=st.hist_valid,
+                    )
+
+                next_token, alt_token, alt_prob = filter_and_sample(
+                    settings, logits, top_k, top_p, typ_p, sample_key, step=0
+                )
 
             # completion — engine.generate's logic with the scan counter
             # replaced by the slot's own gen_count

@@ -380,6 +380,28 @@ def test_bench_beam_phase_smoke():
     assert out["caption_latency_ms"] > 0 and out["beam_size"] == 3
 
 
+def test_serving_fused_step_falls_back_on_cpu():
+    """filter_method='fused_step' in serving must be trajectory-identical
+    to 'threshold' off-TPU, like the engine."""
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    base = dataclasses.replace(
+        SETTINGS, greedy=False, top_p=0.9, repetition_penalty=1.2,
+        min_length=2, temperature=0.9,
+    )
+    reqs = _requests(4, seed=12, caps=[4, 9, 6, 3])
+    outs = {}
+    for method in ("fused_step", "threshold"):
+        eng = ServingEngine(
+            gpt2, CFG, prefix_len=P, slots=2, steps_per_sync=4,
+            dtype=jnp.float32,
+            settings=dataclasses.replace(base, filter_method=method),
+        )
+        outs[method] = eng.serve(reqs, params, rng=jax.random.PRNGKey(3))
+    for r in reqs:
+        a, b = outs["fused_step"][r.request_id], outs["threshold"][r.request_id]
+        assert (a["tokens"], a["stopped"]) == (b["tokens"], b["stopped"])
+
+
 def test_serving_lazy_request_generator():
     """serve() pulls from a generator only as slots free: results match
     the eager-list serve, and the producer is never drained ahead of
