@@ -941,7 +941,26 @@ def main():
             return fn(*a, **kw)
         except Exception:
             traceback.print_exc(file=sys.stderr)
+            # a RESOURCE_EXHAUSTED leaves the backend pinned (dead frames +
+            # executables hold HBM) and every later phase then fails too —
+            # r3 saw one serving OOM null out eight downstream phases.
+            # Reclaim before moving on.
+            reclaim_hbm()
             return default
+
+    def reclaim_hbm():
+        """Drop jit executables + collect garbage between heavy phases.
+
+        The fabricated 6B/11B phases otherwise leave enough HBM pinned
+        (executable program memory + allocator fragmentation) that a later
+        large allocation RESOURCE_EXHAUSTEDs — r3 saw serving + beam both
+        null out when they ran after the t0-11b phase. Main-level params
+        stay alive (we hold the reference); only dead executables go."""
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
 
     def rnd(x, n=1):
         return None if x is None else round(x, n)
@@ -954,6 +973,12 @@ def main():
     p50_engine_fs, _ = safe(_bench_engine_default, cfg, params,
                             filter_method="fused_step", default=(None, None))
     single_ms = safe(_bench_single_caption_latency, cfg, params)
+    # serving + beam run HERE — while only the GPT2-XL params are resident.
+    # They used to run last, after the fabricated 6B/11B phases, and both
+    # RESOURCE_EXHAUSTEDed on leftover HBM (see reclaim_hbm).
+    serving = safe(_bench_serving, cfg, params)
+    beam = safe(_bench_beam, cfg, params)
+    reclaim_hbm()
     vit_ips = safe(_bench_vit_encode)
     prepro_ips = safe(_bench_preprocess_e2e)
     genb_ms = safe(_bench_genb_synthesis)
@@ -965,11 +990,12 @@ def main():
         _bench_train_step, batch=64, lm_variant="gpt2-xl", prefix_only=True,
         prefix_len=40, k_steps=5, default=(None, None, None),
     )
+    reclaim_hbm()
     gptj6b_cps = safe(_bench_gptj_6b_int8, batch=256)
+    reclaim_hbm()
     t0_11b_cps = safe(_bench_t0_11b_int8_decode)
+    reclaim_hbm()
     spec = safe(_bench_speculative)
-    serving = safe(_bench_serving, cfg, params)
-    beam = safe(_bench_beam, cfg, params)
     loader_rows_s = safe(_bench_native_loader)
 
     # null (not 0.0) when the headline phase failed: a trend reader must

@@ -165,7 +165,13 @@ class ServingEngine:
         self.ring_len = self.prompt_len + settings.max_new_tokens + 1
 
         self._init_fn = jax.jit(self._init)
-        self._chunk_fn = jax.jit(self._chunk)
+        # state MUST be donated: chunk/refill are dispatched repeatedly from
+        # the host loop, and without in/out aliasing every call holds TWO
+        # copies of the ring state (the KV cache alone is ~5.7 GB at
+        # slots=512 GPT2-XL int8) — that double-buffer is what
+        # RESOURCE_EXHAUSTEDed the 16 GB chip. Callers rebind `state` at
+        # every call site, so the donated input is never reused.
+        self._chunk_fn = jax.jit(self._chunk, donate_argnums=(1,))
         # graduated refill sizes (default powers of two up to refill_size):
         # every refill row is real and every target slot distinct —
         # padding with dummy rows would make duplicate scatter indices,
@@ -185,7 +191,9 @@ class ServingEngine:
                 self._refill_sizes.append(k)
                 k *= 2
         # r is static: one executable per refill size, compiled on first use
-        self._refill_jit = jax.jit(self._refill, static_argnums=0)
+        # (state donated for the same aliasing reason as _chunk_fn)
+        self._refill_jit = jax.jit(self._refill, static_argnums=0,
+                                   donate_argnums=(2,))
 
     # ---- jitted bodies -----------------------------------------------------
 
