@@ -66,6 +66,15 @@ from .engine import (BIG, GenerationSettings, _rows, _statically_active,
                      filter_and_sample)
 
 
+# module-level so the executable caches across serve() calls — a jit
+# wrapper created inside serve() recompiles each (pool, r) shape on EVERY
+# call, and each relay compile costs seconds (measured: the timed second
+# bench pass spent more time re-compiling gathers than decoding)
+@jax.jit
+def _gather_rows(pool, ix):
+    return jnp.take(pool, ix, axis=0)
+
+
 @dataclasses.dataclass(frozen=True)
 class Request:
     """One serving request: a prefix (mapper output) and optional caps.
@@ -507,12 +516,11 @@ class ServingEngine:
 
         if prefix_pool is not None:
             pool = jnp.asarray(prefix_pool, self.dtype)
-            gather = jax.jit(lambda pl, ix: jnp.take(pl, ix, axis=0))
 
             def stack_prefixes(reqs, pad_to):
                 ix = [int(r.prefix_embeds) if r is not None else 0 for r in reqs]
                 ix += [0] * (pad_to - len(ix))
-                return gather(pool, jnp.asarray(ix, jnp.int32))
+                return _gather_rows(pool, jnp.asarray(ix, jnp.int32))
         else:
             def stack_prefixes(reqs, pad_to):
                 d = next(
