@@ -596,7 +596,7 @@ def _bench_speculative(g: int = 4) -> dict:
     }
 
 
-def _bench_serving(cfg, params, slots: int = 2 * BATCH,
+def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
                    n_requests: int = 2048) -> dict:
     """Continuous batching (decode/serving.py) vs the static engine on a
     variable-length workload: n_requests with per-request length caps
@@ -617,7 +617,6 @@ def _bench_serving(cfg, params, slots: int = 2 * BATCH,
     from clipcap_tpu.decode.serving import Request, ServingEngine
     from clipcap_tpu.models import gpt2
 
-    params_q = jax.jit(gpt2.quantize_params)(params)
     pool = jax.random.normal(
         jax.random.PRNGKey(5), (n_requests, PREFIX_LEN, cfg.n_embd), jnp.bfloat16
     )
@@ -685,7 +684,7 @@ def _bench_serving(cfg, params, slots: int = 2 * BATCH,
     }
 
 
-def _bench_beam(cfg, params, beam_size: int = 5) -> dict:
+def _bench_beam(cfg, params_q, beam_size: int = 5) -> dict:
     """Beam-search latency (decode/beam.py — the reference generate_beam
     path, inference.py:70-148, which recomputes the full sequence per
     token per beam; here KV-cached with per-step slab reorder). Batch-1
@@ -697,7 +696,6 @@ def _bench_beam(cfg, params, beam_size: int = 5) -> dict:
     from clipcap_tpu.decode.beam import beam_search
     from clipcap_tpu.models import gpt2
 
-    params_q = jax.jit(gpt2.quantize_params)(params)
     prefix = jax.random.normal(
         jax.random.PRNGKey(7), (1, PREFIX_LEN, cfg.n_embd), jnp.bfloat16
     )
@@ -973,11 +971,21 @@ def main():
     p50_engine_fs, _ = safe(_bench_engine_default, cfg, params,
                             filter_method="fused_step", default=(None, None))
     single_ms = safe(_bench_single_caption_latency, cfg, params)
-    # serving + beam run HERE — while only the GPT2-XL params are resident.
-    # They used to run last, after the fabricated 6B/11B phases, and both
-    # RESOURCE_EXHAUSTEDed on leftover HBM (see reclaim_hbm).
-    serving = safe(_bench_serving, cfg, params)
-    beam = safe(_bench_beam, cfg, params)
+    # serving + beam run HERE — they used to run last, after the fabricated
+    # 6B/11B phases, and both RESOURCE_EXHAUSTEDed on leftover HBM (see
+    # reclaim_hbm). They also only need the int8 params: quantize once,
+    # sync, and FREE the bf16 params + prefixes first — a production
+    # server holds only int8 weights, and keeping the 3.1 GB bf16 copy
+    # (plus the engine phases' B=512 executables) resident pushed the
+    # 512-slot ring over HBM capacity.
+    params_q = jax.jit(gpt2.quantize_params)(params)
+    float(jnp.sum(jax.tree_util.tree_leaves(params_q)[0][..., :1]
+                  .astype(jnp.float32)))  # sync quantize before freeing bf16
+    del params, prefix, prefix_512
+    reclaim_hbm()
+    serving = safe(_bench_serving, cfg, params_q)
+    beam = safe(_bench_beam, cfg, params_q)
+    del params_q
     reclaim_hbm()
     vit_ips = safe(_bench_vit_encode)
     prepro_ips = safe(_bench_preprocess_e2e)

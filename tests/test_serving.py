@@ -358,7 +358,8 @@ def test_bench_serving_phase_smoke():
     cfg = GPT2Config(vocab_size=128, n_positions=128, n_embd=32, n_layer=2,
                      n_head=4)
     params = gpt2.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    out = bench._bench_serving(cfg, params, slots=4, n_requests=12)
+    out = bench._bench_serving(cfg, gpt2.quantize_params(params),
+                               slots=4, n_requests=12)
     assert out["n_requests"] == 12
     assert out["serving_captions_per_sec"] > 0
     assert out["static_engine_captions_per_sec"] > 0
@@ -376,7 +377,7 @@ def test_bench_beam_phase_smoke():
     cfg = GPT2Config(vocab_size=128, n_positions=128, n_embd=32, n_layer=2,
                      n_head=4)
     params = gpt2.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    out = bench._bench_beam(cfg, params, beam_size=3)
+    out = bench._bench_beam(cfg, gpt2.quantize_params(params), beam_size=3)
     assert out["caption_latency_ms"] > 0 and out["beam_size"] == 3
 
 
