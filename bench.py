@@ -629,14 +629,19 @@ def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
         repetition_penalty=1.2,
         eos_token_id=50256,
         stop_token_id=13,
+        # the whole per-step logit pipeline (penalty/EOS gate/filter/
+        # sample) in the Pallas sampler — same choice as the fastest
+        # engine path; falls back to threshold off-TPU
+        filter_method="fused_step",
     )
 
     serv = ServingEngine(
         gpt2.gpt2_int8, cfg, prefix_len=PREFIX_LEN, settings=settings,
         slots=slots, refill_size=64, steps_per_sync=16,
-        # sparse ladder: 4 compiled prefill sizes instead of 7 (each costs
-        # a relay compile round) at the price of a little slot-idle time
-        refill_sizes=(1, 4, 16, 64) if slots >= 64 else None,
+        # sparse ladder, biggest = slots//2: padded refills (serving.py
+        # _refill) let ONE big dispatch service each sync's harvest — the
+        # r2 all-real power-of-two cascade paid 4-5 prefills per sync
+        refill_sizes=(1, 16, 64, 256) if slots >= 512 else None,
     )
     reqs = [Request(i, i, max_length=int(caps[i])) for i in range(n_requests)]
 

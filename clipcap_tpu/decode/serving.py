@@ -19,12 +19,18 @@ TPU-first design (every shape static):
   attention bias window computed from the global index and a per-row
   window start (models/gpt2.py _ring_layout).
 - Refills reuse the standard fresh-prefill executable on a small [R, P]
-  cache, then scatter the R rows into the ring at the positions the new
-  windows claim (models/gpt2.py scatter_refill). Refill batches come in
-  power-of-two sizes up to `refill_size` (one small executable each) so
-  every refill row is real and every target slot distinct — padding with
-  dummy rows would create duplicate scatter indices, whose write order
-  XLA leaves undefined.
+  cache, then paste the R rows into a CONTIGUOUS block of cache rows
+  (models/gpt2.py scatter_refill -> ops/ring.py paste_rows). Contiguity
+  is the load-bearing choice: slots retire FIFO (a slot finishing early
+  waits as a dead "zombie" until the retire pointer sweeps it), so every
+  refill write is a dynamic_update_slice. The r2 design refilled
+  arbitrary free slots by XLA scatter — measured ~2/3 of total serving
+  wall time at slots=512 (per-index scatter lowering, 254 ms per 256-row
+  refill vs ~18 ms contiguous) and an HBM-OOM relayout copy at R=256.
+  Refill batches come in a small ladder of sizes (one executable each);
+  a queue-tail batch pads up to the next ladder size with dead rows, and
+  sub-`min_refill` batches wait a sync for a bigger block (a dispatch
+  pays a fixed ~60 ms prefill floor; zombie slot-steps are cheaper).
 - The host syncs once per `steps_per_sync` decode steps (a bundled fetch
   costs one ~30 ms relay round-trip regardless of payload — CLAUDE.md),
   harvesting finished slots and submitting refills between chunks.
@@ -129,6 +135,7 @@ class ServingEngine:
         dtype=jnp.bfloat16,
         cache_constraint=None,
         refill_sizes=None,
+        min_refill: Optional[int] = None,
     ):
         if not hasattr(lm, "decode_step_ring") or not hasattr(lm, "scatter_refill"):
             raise TypeError(
@@ -181,12 +188,14 @@ class ServingEngine:
         # RESOURCE_EXHAUSTEDed the 16 GB chip. Callers rebind `state` at
         # every call site, so the donated input is never reused.
         self._chunk_fn = jax.jit(self._chunk, donate_argnums=(1,))
-        # graduated refill sizes (default powers of two up to refill_size):
-        # every refill row is real and every target slot distinct —
-        # padding with dummy rows would make duplicate scatter indices,
-        # whose write order is undefined. A sparser explicit ladder trades
-        # slot-idle time for fewer compiled prefill sizes; it must contain
-        # 1 so the tail of a queue can always be placed.
+        # graduated refill sizes (default powers of two up to refill_size).
+        # Every scatter TARGET slot must be distinct (duplicate scatter
+        # indices have undefined write order), but refill ROWS may be
+        # padding: pad rows target distinct FREE slots and land dead
+        # (live=False — see _refill), so one executable covers any partial
+        # batch up to its size. A sparser explicit ladder trades padded
+        # prefill rows for fewer compiled prefill sizes; it must contain 1
+        # so a single free slot can always be filled.
         if refill_sizes is not None:
             self._refill_sizes = sorted(int(k) for k in refill_sizes)
             if not self._refill_sizes or self._refill_sizes[0] != 1:
@@ -199,6 +208,13 @@ class ServingEngine:
             while k <= self.refill_size:
                 self._refill_sizes.append(k)
                 k *= 2
+        # below this many queued-and-retirable requests, wait a sync for a
+        # bigger block instead of dispatching: every refill pays a fixed
+        # prefill floor (~60 ms on the v5e), which dwarfs the zombie
+        # slot-steps of waiting. Queue tails and wrap-boundary fills are
+        # exempt (see serve()).
+        self.min_refill = int(min_refill) if min_refill is not None else max(
+            1, min(self._refill_sizes[-1] // 4, self.slots))
         # r is static: one executable per refill size, compiled on first use
         # (state donated for the same aliasing reason as _chunk_fn)
         self._refill_jit = jax.jit(self._refill, static_argnums=0,
@@ -416,18 +432,33 @@ class ServingEngine:
         )
         return state, emitted, emit_valid
 
-    def _refill(self, r: int, params, state: ServingState, prefixes, slots,
-                new_max_len):
-        """Prefill r new requests and swap them into r distinct free slots."""
+    def _refill(self, r: int, params, state: ServingState, prefixes, q,
+                new_max_len, n_real):
+        """Prefill r new requests into the CONTIGUOUS slot block [q, q+r).
+
+        Contiguity is load-bearing: every per-slot write here (cache rows
+        and state vectors) lowers to a dynamic_update_slice. Arbitrary
+        free-slot scatters were the dominant serving cost and OOM at
+        useful block sizes — see ops/ring.py paste_rows. The host keeps
+        blocks contiguous by retiring slots FIFO (see serve()).
+
+        `n_real` (traced) marks how many leading rows are real requests;
+        the tail rows are PADDING that lets one big executable service a
+        partial batch. Padding rows land dead: live=False, stopped=True,
+        so they emit nothing. One traced scalar instead of per-count
+        executables keeps the compile count at one per ladder size."""
         small = self.lm.init_cache(
             self.cfg, batch=r, max_len=self.prompt_len, dtype=self.dtype
         )
         logits, small = self.lm.prefill(params, self.cfg, prefixes, small)
-        cache = self.lm.scatter_refill(state.cache, small, slots)
+        cache = self.lm.scatter_refill(state.cache, small, q)
         idx = state.cache.index
+        real = jnp.arange(r) < n_real
 
         def put(vec, new):
-            return vec.at[slots].set(new)
+            dst = (q,) + (0,) * (vec.ndim - 1)
+            return jax.lax.dynamic_update_slice(
+                vec, new.astype(vec.dtype), dst)
 
         return ServingState(
             cache=cache,
@@ -440,10 +471,10 @@ class ServingEngine:
                                            state.hist.dtype)),
             hist_valid=put(state.hist_valid,
                            jnp.zeros((r,) + state.hist_valid.shape[1:], bool)),
-            stopped=put(state.stopped, jnp.zeros((r,), bool)),
+            stopped=put(state.stopped, ~real),
             nat_stopped=put(state.nat_stopped, jnp.zeros((r,), bool)),
             stops=put(state.stops, jnp.zeros((r,), jnp.int32)),
-            live=put(state.live, jnp.ones((r,), bool)),
+            live=put(state.live, real),
             max_len=put(state.max_len, new_max_len),
             rng=state.rng,
         )
@@ -467,7 +498,8 @@ class ServingEngine:
         for r in self._refill_sizes:
             state = self._refill_jit(
                 r, params, state, zeros[:r],
-                jnp.arange(r, dtype=jnp.int32), caps[:r],
+                jnp.asarray(0, jnp.int32), caps[:r],
+                jnp.asarray(r, jnp.int32),
             )
         jax.block_until_ready(state.stopped)
         return self
@@ -556,11 +588,24 @@ class ServingEngine:
         )
 
         slot_req = list(first)  # per-slot current Request (None = free)
+        harvested = [False] * b  # result recorded; slot awaits FIFO retire
         bufs = [[] for _ in range(b)]
         t_assign = [time.time()] * b
         results = {}
+        # FIFO retire pointer: refills target the contiguous run of
+        # harvested slots starting here (every device-side slot write is
+        # then a dynamic_update_slice — see _refill). A slot that finishes
+        # early waits as a harvested "zombie" (stopped on device, emits
+        # nothing) until the pointer sweeps past it; the device-time cost
+        # of that wait is far below what arbitrary-slot scatter refills
+        # paid (measured, see ops/ring.py paste_rows).
+        fifo_q = 0
 
-        while any(req is not None for req in slot_req):
+        def outstanding():
+            return any(req is not None and not harvested[s]
+                       for s, req in enumerate(slot_req))
+
+        while outstanding():
             state, emitted, emit_valid = self._chunk_fn(params, state)
             # ONE bundled fetch per chunk (each sync costs a full relay
             # round-trip regardless of payload)
@@ -568,7 +613,7 @@ class ServingEngine:
                 (emitted, emit_valid, state.stopped, state.nat_stopped)
             )
             for slot in range(b):
-                if slot_req[slot] is None:
+                if slot_req[slot] is None or harvested[slot]:
                     continue
                 bufs[slot].extend(int(t) for t in em[ev[:, slot], slot])
                 if stopped[slot]:
@@ -579,29 +624,60 @@ class ServingEngine:
                         "stopped": bool(nat[slot]),
                         "latency_s": time.time() - t_assign[slot],
                     }
-                    slot_req[slot] = None
+                    harvested[slot] = True
                     bufs[slot] = []
                     if on_result is not None:
                         on_result(req.request_id, results[req.request_id])
 
             while pull(self._refill_sizes[-1]):
-                free = [s for s in range(b) if slot_req[s] is None]
-                r = 0
-                for k in self._refill_sizes:
-                    if k <= min(len(free), len(buffered)):
-                        r = k
-                if r == 0:
+                # contiguous retire run at the pointer, split at the
+                # slot-ring wrap boundary (blocks must not wrap: the
+                # device write is a dynamic_update_slice)
+                run = 0
+                while run < b and (
+                    slot_req[(fifo_q + run) % b] is None
+                    or harvested[(fifo_q + run) % b]
+                ):
+                    run += 1
+                avail = min(run, b - fifo_q)
+                n = min(avail, len(buffered))
+                if n == 0:
                     break
-                batch = [buffered.pop(0) for _ in range(r)]
-                caps = np.array([req_cap(req) for req in batch], np.int32)
-                slots_arr = np.array(free[:r], np.int32)
+                fits = [k for k in self._refill_sizes if k <= avail]
+                tail = len(buffered) == n  # queue empties after this batch
+                if (n < self.min_refill and not tail and avail == run
+                        and outstanding()):
+                    # wait for a bigger block: a small dispatch costs ~a
+                    # fixed prefill floor; zombie slot-steps are cheaper.
+                    # Exempt: wrap-boundary fills (avail < run splits a
+                    # big run), queue tails, and an otherwise-idle device
+                    # (nothing outstanding -> waiting would starve).
+                    break
+                cover = [k for k in fits if k >= n]
+                if tail and cover:
+                    r = min(cover)  # pad the queue tail up a ladder size
+                else:
+                    r = max(k for k in fits if k <= n)  # no mid-stream pad
+                n_real = min(r, n)
+                batch = [buffered.pop(0) for _ in range(n_real)]
+                caps = np.array(
+                    [req_cap(req) for req in batch] + [0] * (r - n_real),
+                    np.int32,
+                )
                 now = time.time()
                 for i, req in enumerate(batch):
-                    slot_req[free[i]] = req
-                    bufs[free[i]] = []
-                    t_assign[free[i]] = now
+                    s = fifo_q + i
+                    slot_req[s] = req
+                    harvested[s] = False
+                    bufs[s] = []
+                    t_assign[s] = now
+                for i in range(n_real, r):  # padding rows: dead slots
+                    slot_req[fifo_q + i] = None
+                    harvested[fifo_q + i] = False
                 state = self._refill_jit(
                     r, params, state, stack_prefixes(batch, r),
-                    jnp.asarray(slots_arr), jnp.asarray(caps),
+                    jnp.asarray(fifo_q, jnp.int32), jnp.asarray(caps),
+                    jnp.asarray(n_real, jnp.int32),
                 )
+                fifo_q = (fifo_q + r) % b
         return results

@@ -29,7 +29,7 @@ from ..core.config import BlipTextConfig
 from ..ops.activations import gelu_exact
 from ..ops.attention import NEG_INF
 from ..ops.layernorm import layer_norm
-from ..ops.ring import refill_positions, ring_layout, scatter_rows
+from ..ops.ring import paste_rows, refill_positions, ring_layout
 from ..ops.quant import linear
 
 
@@ -405,17 +405,23 @@ def serving_decoder_lm(params: dict, cfg: BlipTextConfig,
                                         ring=(pos, start))
         return logits[:, -1], cache
 
-    def scatter_refill(cache, small, slots):
+    def scatter_refill(cache, small, q):
+        # contiguous block [q, q+R) — see models/gpt2.py scatter_refill
         rp = refill_positions(cache.index, small.k.shape[2], cache.k.shape[2])
+
+        def paste_axis1(big, sm):
+            # per-request image K/V swap whole rows (nothing rides the
+            # ring: cross-attention has no time axis of its own)
+            dst = [0] * big.ndim
+            dst[1] = q
+            return jax.lax.dynamic_update_slice(
+                big, sm.astype(big.dtype), dst)
+
         return cache._replace(
-            k=scatter_rows(cache.k, small.k, slots, rp, time_axis=2),
-            v=scatter_rows(cache.v, small.v, slots, rp, time_axis=2),
-            # the per-request image K/V swap whole rows (nothing rides
-            # the ring: cross-attention has no time axis of its own)
-            cross_k=cache.cross_k.at[:, slots].set(
-                small.cross_k.astype(cache.cross_k.dtype)),
-            cross_v=cache.cross_v.at[:, slots].set(
-                small.cross_v.astype(cache.cross_v.dtype)),
+            k=paste_rows(cache.k, small.k, q, rp, time_axis=2),
+            v=paste_rows(cache.v, small.v, q, rp, time_axis=2),
+            cross_k=paste_axis1(cache.cross_k, small.cross_k),
+            cross_v=paste_axis1(cache.cross_v, small.cross_v),
         )
 
     return SimpleNamespace(

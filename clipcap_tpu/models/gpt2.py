@@ -32,7 +32,7 @@ from ..core.config import GPT2Config
 from ..ops.activations import gelu_new
 from ..ops.attention import NEG_INF, dot_product_attention
 from ..ops.layernorm import layer_norm
-from ..ops.ring import refill_positions, ring_layout, scatter_rows
+from ..ops.ring import paste_rows, refill_positions, ring_layout
 
 
 class KVCache(NamedTuple):
@@ -335,22 +335,24 @@ def decode_step_ring(
 
 
 def scatter_refill(
-    cache: KVCache, small: KVCache, slots: jnp.ndarray
+    cache: KVCache, small: KVCache, q: jnp.ndarray
 ) -> KVCache:
-    """Write a freshly prefilled R-row small cache into ring-cache rows.
+    """Write a freshly prefilled R-row small cache into the CONTIGUOUS
+    ring-cache row block [q, q+R) (q traced, no wrap — serving retires
+    slots FIFO and splits refills at the slot-ring boundary, so blocks
+    stay contiguous and the write is pure dynamic_update_slice; see
+    ops/ring.py paste_rows for why scattered slots are not viable).
 
     `small` comes from a standard prefill (init_cache(batch=R, max_len=P)
     + prefill) of the new requests' prefixes; its P entries claim global
     timesteps [index - P, index - 1], i.e. ring slots
     (index - P + i) % maxT — exactly the window _ring_layout grants a row
-    with start = index - P. Rows are gathered, updated at the ring
-    positions, and scattered back (R is small; the row copy is cheap next
-    to a decode step).
+    with start = index - P.
     """
     rp = refill_positions(cache.index, small.k.shape[2], cache.k.shape[2])
     return KVCache(
-        k=scatter_rows(cache.k, small.k, slots, rp, time_axis=2),
-        v=scatter_rows(cache.v, small.v, slots, rp, time_axis=2),
+        k=paste_rows(cache.k, small.k, q, rp, time_axis=2),
+        v=paste_rows(cache.v, small.v, q, rp, time_axis=2),
         index=cache.index,
     )
 
@@ -580,13 +582,13 @@ def decode_step_ring_q8(
 
 
 def scatter_refill_q8(
-    cache: Int8KVCache, small: Int8KVCache, slots: jnp.ndarray
+    cache: Int8KVCache, small: Int8KVCache, q: jnp.ndarray
 ) -> Int8KVCache:
     """int8 scatter_refill; the head-major layout puts time on axis 3."""
     rp = refill_positions(cache.index, small.k.shape[3], cache.k.shape[3])
 
     def put(big, sm):
-        return scatter_rows(big, sm, slots, rp, time_axis=3)
+        return paste_rows(big, sm, q, rp, time_axis=3)
 
     return Int8KVCache(
         k=put(cache.k, small.k), v=put(cache.v, small.v),

@@ -26,7 +26,7 @@ from ..core.config import GPTJConfig
 from ..ops.activations import gelu_new
 from ..ops.attention import NEG_INF
 from ..ops.layernorm import layer_norm
-from ..ops.ring import refill_positions, ring_layout, scatter_rows
+from ..ops.ring import paste_rows, refill_positions, ring_layout
 
 
 class KVCache(NamedTuple):
@@ -280,13 +280,14 @@ def decode_step_ring(params, cfg, token_embed, cache, pos, start):
     return logits[:, -1], cache
 
 
-def scatter_refill(cache: KVCache, small: KVCache, slots: jnp.ndarray) -> KVCache:
-    """Write a freshly prefilled R-row small cache into ring-cache rows —
-    see models/gpt2.py scatter_refill for the window contract."""
+def scatter_refill(cache: KVCache, small: KVCache, q: jnp.ndarray) -> KVCache:
+    """Write a freshly prefilled R-row small cache into the contiguous
+    ring-cache row block [q, q+R) — see models/gpt2.py scatter_refill for
+    the window/contiguity contract."""
     rp = refill_positions(cache.index, small.k.shape[2], cache.k.shape[2])
     return KVCache(
-        scatter_rows(cache.k, small.k, slots, rp, time_axis=2),
-        scatter_rows(cache.v, small.v, slots, rp, time_axis=2),
+        paste_rows(cache.k, small.k, q, rp, time_axis=2),
+        paste_rows(cache.v, small.v, q, rp, time_axis=2),
         cache.index,
     )
 
@@ -507,13 +508,13 @@ def decode_step_ring_q8(params, cfg, token_embed, cache, pos, start):
 
 
 def scatter_refill_q8(
-    cache: Int8KVCache, small: Int8KVCache, slots: jnp.ndarray
+    cache: Int8KVCache, small: Int8KVCache, q: jnp.ndarray
 ) -> Int8KVCache:
     """int8 scatter_refill; the head-major layout puts time on axis 3."""
     rp = refill_positions(cache.index, small.k.shape[3], cache.k.shape[3])
 
     def put(big, sm):
-        return scatter_rows(big, sm, slots, rp, time_axis=3)
+        return paste_rows(big, sm, q, rp, time_axis=3)
 
     return Int8KVCache(
         k=put(cache.k, small.k), v=put(cache.v, small.v),

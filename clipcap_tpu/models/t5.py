@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from ..core.config import T5Config
 from ..ops.activations import gelu_new
 from ..ops.attention import NEG_INF
-from ..ops.ring import refill_positions, ring_layout, ring_timesteps, scatter_rows
+from ..ops.ring import (paste_rows, paste_rows_axis0, refill_positions,
+                        ring_layout, ring_timesteps)
 from ..ops.layernorm import rms_norm
 from ..ops.quant import linear
 
@@ -385,22 +386,23 @@ def decode_step_ring(params, cfg: T5Config, token_embed, cache: KVCache,
     return logits[:, -1], cache
 
 
-def scatter_refill(cache: KVCache, small: KVCache, slots) -> KVCache:
-    """Write a freshly prefilled R-row small cache into ring-cache rows.
+def scatter_refill(cache: KVCache, small: KVCache, q) -> KVCache:
+    """Write a freshly prefilled R-row small cache into the contiguous
+    ring-cache row block [q, q+R) (see models/gpt2.py scatter_refill for
+    the window/contiguity contract).
 
-    Beyond the self-attention K/V slabs (see models/gpt2.py
-    scatter_refill), the per-request encoder output swaps in by plain row
-    scatter: cross-attention reads enc_hidden[b] directly, nothing rides
-    the ring. Serving prefixes carry no attention mask (enc_bias None)."""
+    Beyond the self-attention K/V slabs, the per-request encoder output
+    swaps in by a contiguous row paste: cross-attention reads
+    enc_hidden[b] directly, nothing rides the ring. Serving prefixes
+    carry no attention mask (enc_bias None)."""
     if cache.enc_bias is not None or small.enc_bias is not None:
         raise ValueError("serving refill does not support enc_bias "
                          "(masked encoder prompts)")
     rp = refill_positions(cache.index, small.k.shape[2], cache.k.shape[2])
     return KVCache(
-        k=scatter_rows(cache.k, small.k, slots, rp, time_axis=2),
-        v=scatter_rows(cache.v, small.v, slots, rp, time_axis=2),
-        enc_hidden=cache.enc_hidden.at[slots].set(
-            small.enc_hidden.astype(cache.enc_hidden.dtype)),
+        k=paste_rows(cache.k, small.k, q, rp, time_axis=2),
+        v=paste_rows(cache.v, small.v, q, rp, time_axis=2),
+        enc_hidden=paste_rows_axis0(cache.enc_hidden, small.enc_hidden, q),
         enc_bias=None,
         index=cache.index,
     )

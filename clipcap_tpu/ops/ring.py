@@ -12,6 +12,7 @@ from the [B, T] attention-bias window computed here.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .attention import NEG_INF
@@ -54,19 +55,48 @@ def refill_positions(idx, prefix_len: int, a_len: int):
     return jnp.mod(idx - prefix_len + jnp.arange(prefix_len), a_len)
 
 
-def scatter_rows(big, small, slots, rp, time_axis: int):
-    """Write `small`'s rows into `big` at batch rows `slots` (axis 1) and
-    ring positions `rp` along `time_axis` (2 or 3). `slots` MUST be
-    distinct: duplicate scatter indices have undefined write order.
+def paste_rows(big, small, q, rp, time_axis: int):
+    """Write `small`'s R rows into `big` at the CONTIGUOUS batch-row block
+    [q, q+R) (axis 1, q traced, no wrap — the serving host splits refills
+    at the slot-ring boundary) and ring positions `rp` along `time_axis`.
+    `rp` MUST be a contiguous modular window — refill_positions output —
+    since only rp[0] is consulted.
 
-    Gather-update-scatter of whole rows: refill batches are small, so the
-    row copy is cheap next to a decode step.
+    Target rows are overwritten WHOLE: `small` is padded to the ring
+    extent and rotated so its entries land at `rp`; positions outside the
+    window receive unspecified junk. That is safe because ring_layout
+    masks them for the refilled row (their gp is either < start or the
+    current write slot, which the next decode step overwrites before
+    attending), and no other row ever reads them.
+
+    Why contiguous: this lowers to pure dynamic_update_slice — measured
+    ~18 ms for 256 GPT2-XL rows on the v5e. Arbitrary-slot scatters are
+    an order of magnitude worse AND blow HBM at refill sizes worth using:
+    the r2 gather/set-at-rp/scatter form ran 254 ms (per-index scatter
+    lowering), a rolled row-scatter ~150 ms, and at R=256 XLA inserts a
+    relayout copy of the WHOLE 4.7 GB cache slab plus a 2.3 GB temp —
+    OOM with params resident. The serving engine therefore retires slots
+    FIFO (decode/serving.py) so every refill block is contiguous.
     """
-    rows = big[:, slots]
-    if time_axis == 2:
-        rows = rows.at[:, :, rp].set(small.astype(big.dtype))
-    elif time_axis == 3:
-        rows = rows.at[:, :, :, rp].set(small.astype(big.dtype))
-    else:
-        raise ValueError(f"unsupported time_axis {time_axis}")
-    return big.at[:, slots].set(rows)
+    a_len = big.shape[time_axis]
+    p = small.shape[time_axis]
+    pad = [(0, 0)] * small.ndim
+    pad[time_axis] = (0, a_len - p)
+    full = jnp.pad(small.astype(big.dtype), pad)
+    # roll right by rp[0] via doubled-array dynamic_slice (jnp.roll's
+    # traced-shift lowering is itself a scatter)
+    two = jnp.concatenate([full, full], axis=time_axis)
+    start = [0] * full.ndim
+    start[time_axis] = a_len - rp[0]
+    full = jax.lax.dynamic_slice(two, start, full.shape)
+    dst = [0] * big.ndim
+    dst[1] = q
+    return jax.lax.dynamic_update_slice(big, full, dst)
+
+
+def paste_rows_axis0(big, small, q):
+    """Contiguous-block row paste on axis 0 (per-request tensors with no
+    layer axis: t5 enc_hidden, serving state vectors)."""
+    dst = [0] * big.ndim
+    dst[0] = q
+    return jax.lax.dynamic_update_slice(big, small.astype(big.dtype), dst)

@@ -10,8 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from clipcap_tpu.ops.attention import NEG_INF
-from clipcap_tpu.ops.ring import (refill_positions, ring_layout,
-                                  ring_timesteps, scatter_rows)
+from clipcap_tpu.ops.ring import (paste_rows, refill_positions, ring_layout,
+                                  ring_timesteps)
 
 T = 8
 
@@ -62,14 +62,20 @@ def test_refill_positions_wrap_seam():
     assert rp.tolist() == [6, 7, 0, 1]
 
 
-def test_scatter_rows_only_touches_target_rows_and_positions():
-    big = jnp.zeros((2, 4, T, 3))  # [L, B, T, D]
+def test_paste_rows_window_lands_and_other_rows_untouched():
+    """Contract: the contiguous block [q, q+R) gets `small` at the modular
+    window `rp`; rows OUTSIDE the block are untouched. Block rows'
+    positions outside the window are unspecified (the roll formulation
+    writes junk there — always bias-masked by ring_layout, see
+    paste_rows docstring)."""
+    big = jnp.full((2, 4, T, 3), 5.0)  # [L, B, T, D]
     small = jnp.ones((2, 2, 2, 3)) * 7.0
-    out = np.array(scatter_rows(big, small, jnp.asarray([1, 3]),
-                                jnp.asarray([6, 0]), time_axis=2))
-    for row in (1, 3):
-        for p in (6, 0):
-            assert (out[:, row, p] == 7.0).all()
-    out[:, [1, 3], 6] = 0
-    out[:, [1, 3], 0] = 0
-    assert (out == 0).all()
+    # window crossing the wrap seam: idx=9, P=2 -> rp=[7, 0]
+    rp = refill_positions(jnp.int32(9), 2, T)
+    assert np.asarray(rp).tolist() == [7, 0]
+    out = np.array(paste_rows(big, small, jnp.int32(1), rp, time_axis=2))
+    for row in (1, 2):
+        for p in (7, 0):
+            assert (out[:, row, p] == 7.0).all(), (row, p)
+    for row in (0, 3):
+        assert (out[:, row] == 5.0).all(), row
