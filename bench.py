@@ -601,7 +601,8 @@ SERVE_MAX_NEW = 67  # the reference decode contract: entry_length=67
 
 
 def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
-                   n_requests: int = 2048) -> dict:
+                   n_requests: int = 2048, pipeline_depth: int = 2,
+                   include_static: bool = True) -> dict:
     """Continuous batching (decode/serving.py) vs the static engine on the
     reference production decode contract: entry_length=67 as the hard cap
     (reference inference.py:225), with requests finishing at natural-EOS
@@ -652,6 +653,7 @@ def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
         # sparse ladder, biggest = slots//2: ONE big contiguous refill per
         # sync in steady state (serving.py FIFO retire)
         refill_sizes=(1, 16, 64, 256) if slots >= 512 else None,
+        pipeline_depth=pipeline_depth,
     )
     reqs = [Request(i, i, max_length=int(caps[i])) for i in range(n_requests)]
 
@@ -682,15 +684,19 @@ def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
     assert len(results) == n_requests
     lats = sorted(r["latency_s"] for r in results.values())
 
-    run_static()  # compile
-    t0 = time.perf_counter()
-    run_static()
-    t_static = time.perf_counter() - t0
+    t_static = None
+    if include_static:
+        run_static()  # compile
+        t0 = time.perf_counter()
+        run_static()
+        t_static = time.perf_counter() - t0
 
     return {
         "serving_captions_per_sec": round(n_requests / t_serving, 1),
-        "static_engine_captions_per_sec": round(n_requests / t_static, 1),
-        "speedup": round(t_static / t_serving, 3),
+        "static_engine_captions_per_sec": (
+            round(n_requests / t_static, 1) if t_static else None),
+        "speedup": round(t_static / t_serving, 3) if t_static else None,
+        "pipeline_depth": pipeline_depth,
         "latency_p50_s": round(lats[len(lats) // 2], 3),
         "latency_p99_s": round(lats[min(len(lats) - 1, int(len(lats) * 0.99))], 3),
         "slots": slots,

@@ -34,6 +34,17 @@ TPU-first design (every shape static):
 - The host syncs once per `steps_per_sync` decode steps (a bundled fetch
   costs one ~30 ms relay round-trip regardless of payload — CLAUDE.md),
   harvesting finished slots and submitting refills between chunks.
+- The serve loop is PIPELINED (depth `pipeline_depth`, default 2): chunk
+  k+1 is dispatched before chunk k's results are fetched, so the per-chunk
+  host round-trip (fetch + harvest loop + refill decisions) overlaps the
+  device computing the next chunk instead of idling it (~30 ms of relay
+  round-trip per chunk hidden behind ~100-160 ms of device decode).
+  Refills consequently land one chunk later than the harvest that freed
+  the slots; per-slot token streams are unaffected (each slot's stream
+  depends only on its own window, and a harvested slot is a stopped
+  zombie emitting nothing until its refill executes). Per-slot generation
+  counters keep late-processed chunk outputs from being misread as the
+  refilled occupant's.
 
 Sampling semantics are the static engine's exactly: the per-step filter/
 sample pipeline is the shared engine.filter_and_sample (same fused-Pallas
@@ -136,6 +147,7 @@ class ServingEngine:
         cache_constraint=None,
         refill_sizes=None,
         min_refill: Optional[int] = None,
+        pipeline_depth: int = 2,
     ):
         if not hasattr(lm, "decode_step_ring") or not hasattr(lm, "scatter_refill"):
             raise TypeError(
@@ -170,6 +182,9 @@ class ServingEngine:
         self.slots = int(slots)
         self.refill_size = int(refill_size or max(1, slots // 8))
         self.steps_per_sync = int(steps_per_sync)
+        # in-flight decode chunks in serve() (1 = fully synchronous loop);
+        # see the module docstring's pipelining note
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.dtype = dtype
         # multi-chip hook, same contract as engine.generate: applied to the
         # freshly created ring cache inside the traced init (e.g.
@@ -433,7 +448,14 @@ class ServingEngine:
         state, (emitted, emit_valid) = jax.lax.scan(
             step_fn, state, None, length=self.steps_per_sync
         )
-        return state, emitted, emit_valid
+        # the stop flags are ALSO returned as uint8 COPIES: serve()'s
+        # pipelined loop holds them across the next chunk dispatch, which
+        # donates the whole state pytree — a held reference into the
+        # donated state would be invalidated. The dtype change forces XLA
+        # to materialize distinct (tiny, [B]) buffers.
+        return (state, emitted, emit_valid,
+                state.stopped.astype(jnp.uint8),
+                state.nat_stopped.astype(jnp.uint8))
 
     def _refill(self, r: int, params, state: ServingState, prefixes, q,
                 new_max_len, n_real):
@@ -553,7 +575,7 @@ class ServingEngine:
         caps = jnp.full((b,), self.settings.max_new_tokens, jnp.int32)
         self._pin_layouts(params, zeros)
         state = self._init_fn(params, zeros, live, caps, jax.random.PRNGKey(0))
-        state, _, _ = self._chunk_fn(params, state)
+        state, _, _, _, _ = self._chunk_fn(params, state)
         for r in self._refill_sizes:
             state = self._refill_jit(
                 r, params, state, zeros[:r],
@@ -650,6 +672,13 @@ class ServingEngine:
 
         slot_req = list(first)  # per-slot current Request (None = free)
         harvested = [False] * b  # result recorded; slot awaits FIFO retire
+        # per-slot refill generation: chunk outputs are interpreted against
+        # the generation active when that chunk was DISPATCHED — with the
+        # pipelined loop a slot can be harvested and refilled while an
+        # older chunk is still in flight, and that chunk's zombie
+        # stopped=True output must not be misread as the NEW occupant
+        # finishing with zero tokens
+        slot_gen = [0] * b
         bufs = [[] for _ in range(b)]
         t_assign = [time.time()] * b
         results = {}
@@ -666,19 +695,33 @@ class ServingEngine:
             return any(req is not None and not harvested[s]
                        for s, req in enumerate(slot_req))
 
-        while outstanding():
-            state, emitted, emit_valid = self._chunk_fn(params, state)
+        # ---- pipelined chunk loop: up to pipeline_depth chunks in flight.
+        # Dispatch is async (device starts immediately); the blocking fetch
+        # of chunk k's outputs then overlaps chunk k+1's device time
+        # instead of idling the chip for the relay round-trip + host
+        # harvest work. Refills decided from chunk k's harvest execute
+        # after the already-dispatched chunk k+1 (device program order) —
+        # one extra chunk of zombie steps per refill, paid for many times
+        # over by the hidden per-chunk sync (~30 ms relay RT, CLAUDE.md).
+        inflight: list = []  # (em, ev, stopped_u8, nat_u8, gen snapshot)
+
+        def dispatch_chunk():
+            nonlocal state
+            state, em, ev, st_u8, nat_u8 = self._chunk_fn(params, state)
+            inflight.append((em, ev, st_u8, nat_u8, list(slot_gen)))
+
+        def harvest_oldest():
+            em, ev, st_u8, nat_u8, sgen = inflight.pop(0)
             # ONE bundled fetch per chunk (each sync costs a full relay
             # round-trip regardless of payload)
-            em, ev, stopped, nat = jax.device_get(
-                (emitted, emit_valid, state.stopped, state.nat_stopped)
-            )
+            em, ev, stopped, nat = jax.device_get((em, ev, st_u8, nat_u8))
             for slot in range(b):
-                if slot_req[slot] is None or harvested[slot]:
+                req = slot_req[slot]
+                if (req is None or harvested[slot]
+                        or sgen[slot] != slot_gen[slot]):
                     continue
                 bufs[slot].extend(int(t) for t in em[ev[:, slot], slot])
                 if stopped[slot]:
-                    req = slot_req[slot]
                     results[req.request_id] = {
                         "tokens": bufs[slot],
                         "length": len(bufs[slot]),
@@ -690,6 +733,8 @@ class ServingEngine:
                     if on_result is not None:
                         on_result(req.request_id, results[req.request_id])
 
+        def do_refills():
+            nonlocal state, fifo_q
             while pull(self._refill_sizes[-1]):
                 # contiguous retire run at the pointer, split at the
                 # slot-ring wrap boundary (blocks must not wrap: the
@@ -730,15 +775,26 @@ class ServingEngine:
                     s = fifo_q + i
                     slot_req[s] = req
                     harvested[s] = False
+                    slot_gen[s] += 1
                     bufs[s] = []
                     t_assign[s] = now
                 for i in range(n_real, r):  # padding rows: dead slots
                     slot_req[fifo_q + i] = None
                     harvested[fifo_q + i] = False
+                    slot_gen[fifo_q + i] += 1
                 state = self._refill_jit(
                     r, params, state, stack_prefixes(batch, r),
                     jnp.asarray(fifo_q, jnp.int32), jnp.asarray(caps),
                     jnp.asarray(n_real, jnp.int32),
                 )
                 fifo_q = (fifo_q + r) % b
+
+        while outstanding() or inflight:
+            # top up the pipeline: the host view of `outstanding` lags the
+            # device by the in-flight chunks, so at most pipeline_depth - 1
+            # tail chunks run with nothing left to do
+            while outstanding() and len(inflight) < self.pipeline_depth:
+                dispatch_chunk()
+            harvest_oldest()
+            do_refills()
         return results

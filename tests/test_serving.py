@@ -458,3 +458,30 @@ def test_serving_rejects_unsupported_settings():
         from clipcap_tpu.models import blip_text
 
         ServingEngine(blip_text, None, prefix_len=P, slots=2, settings=SETTINGS)
+
+
+def test_serving_pipelined_loop_matches_sync_loop():
+    """The pipelined serve loop (chunks dispatched ahead of harvest) must be
+    token-identical to the fully synchronous loop (pipeline_depth=1) and to
+    solo static-engine runs. steps_per_sync=1 + depth=4 maximizes the
+    interleaving the generation counters guard: slots are harvested AND
+    refilled while up to 3 older chunks are still "in flight", so each
+    refilled slot sees several zombie stopped=True chunk outputs that must
+    not be misread as the new occupant finishing empty."""
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    caps = [2, 8, 3, 12, 5, 1, 4, 6, 2, 7]
+    reqs = _requests(10, seed=5, caps=caps)
+
+    def run(depth):
+        eng = ServingEngine(gpt2, CFG, prefix_len=P, settings=SETTINGS,
+                            slots=2, steps_per_sync=1, dtype=jnp.float32,
+                            pipeline_depth=depth)
+        return eng.serve(reqs, params)
+
+    deep, sync = run(4), run(1)
+    assert set(deep) == set(sync) == {r.request_id for r in reqs}
+    for req in reqs:
+        want, want_stopped = _engine_single(gpt2, params, req, SETTINGS)
+        assert deep[req.request_id]["tokens"] == want, req.request_id
+        assert deep[req.request_id]["tokens"] == sync[req.request_id]["tokens"]
+        assert deep[req.request_id]["stopped"] == want_stopped
