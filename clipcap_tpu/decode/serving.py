@@ -586,7 +586,8 @@ class ServingEngine:
         return self
 
     def serve(self, requests: Iterable[Request], params, rng=None,
-              prefix_pool=None, on_result=None) -> dict:
+              prefix_pool=None, on_result=None, admission: str = "fifo",
+              admission_lookahead: Optional[int] = None) -> dict:
         """Run every request to completion; returns {request_id: result}.
 
         result = {"tokens": [int], "length": int, "stopped": bool,
@@ -594,9 +595,14 @@ class ServingEngine:
         engine.generate (the stopping token is included; suppressed
         over-length tokens are not; `stopped` means the request completed
         naturally rather than hitting the max_new_tokens scan cap).
-        latency_s is wall time from slot assignment to harvest — the
-        serving-side p50/p99 metric (queue wait before assignment is the
-        caller's to measure).
+        latency_s is wall time from slot assignment to result
+        finalization — the serving-side p50/p99 metric (queue wait before
+        assignment is the caller's to measure). Two lags inflate it
+        relative to pure device time: the harvest of a stopping chunk
+        trails its dispatch by up to `pipeline_depth` chunks, and
+        t_assign is stamped at host refill DISPATCH (the device executes
+        it up to depth-1 chunks later) — latencies are therefore not
+        comparable across pipeline_depth values; compare at depth=1.
 
         `prefix_pool`: optional [n, P, D] DEVICE array; each request's
         prefix_embeds is then an int row index and prefix batches are
@@ -609,20 +615,69 @@ class ServingEngine:
         `requests` may be any iterable, including a lazy generator: it is
         consumed FIFO and pulled only as slots free up, so an online
         producer can keep generating while earlier requests decode.
+
+        `admission`: "fifo" assigns requests to slots in arrival order.
+        "length" sorts the pulled look-ahead window by effective length
+        cap (ascending; arrival order within equal caps), so FIFO-retired
+        refill blocks hold near-equal caps and retire together instead of
+        idling behind one straggler — worth ~2x utilization on
+        caption-length workloads (see bench serving detail). Token
+        streams per request are unchanged under greedy decoding (each
+        slot's stream depends only on its own window); sampled streams
+        draw different step rngs than fifo order would (same
+        distribution — the same caveat as pipeline_depth below).
+
+        Scheduling is EAGERLY RETIRED: `max_length` is known at
+        admission, and a slot is device-GUARANTEED stopped once
+        min(cap, max_new_tokens) + 1 decode steps have been dispatched
+        after its (re)fill (over_length fires at age >= cap; the scan
+        bound at age >= n; both before any later dispatched step runs —
+        device program order). Refills therefore never wait for the
+        harvest round-trip: a slot whose guarantee has elapsed is
+        refilled immediately, and its not-yet-harvested generation moves
+        to a pending map keyed (slot, generation) whose tokens drain from
+        the still-in-flight chunks. Natural-EOS stops earlier than the
+        cap are still discovered (and retired) at harvest, whichever
+        comes first.
+
+        Sampled (non-greedy) token streams are NOT bit-stable across
+        pipeline_depth or admission policy once refills occur: refill
+        timing/order changes which global per-step rng split each
+        request's steps consume (same distribution, different rng
+        alignment). Greedy streams are invariant — only greedy
+        equivalence is contractual (tests/test_serving.py).
         """
         settings = self.settings
         b, p = self.slots, self.prefix_len
         req_iter = iter(requests)
-        buffered: list = []  # look-ahead pulled from req_iter, FIFO
+        buffered: list = []  # look-ahead pulled from req_iter
+        if admission not in ("fifo", "length"):
+            raise ValueError(f"unknown admission policy {admission!r}")
+        lookahead = int(admission_lookahead) if admission_lookahead else (
+            2 * b if admission == "length" else 0)
+        arrival = [0]  # stable tiebreak for the length sort
 
         def pull(n: int) -> int:
-            """Ensure up to n requests are buffered; returns len(buffered)."""
+            """Ensure up to n requests are buffered; returns len(buffered).
+
+            Under admission="length" the buffer is kept sorted by
+            effective cap (stable: arrival order within equal caps); the
+            producer is still consumed strictly FIFO."""
+            n = max(n, lookahead)
+            grew = False
             while len(buffered) < n:
                 try:
-                    buffered.append(next(req_iter))
+                    buffered.append((arrival[0], next(req_iter)))
+                    arrival[0] += 1
+                    grew = True
                 except StopIteration:
                     break
+            if grew and admission == "length":
+                buffered.sort(key=lambda ar: (eff_cap(ar[1]), ar[0]))
             return len(buffered)
+
+        def pop_next() -> Request:
+            return buffered.pop(0)[1]
 
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -653,9 +708,17 @@ class ServingEngine:
         def req_cap(req):
             return req.max_length if req.max_length is not None else default_cap
 
+        n_steps_cap = settings.max_new_tokens
+
+        def eff_cap(req):
+            """Decode steps after which the slot is device-guaranteed
+            stopped: min(cap, scan bound) + 1 (the step ENTERING at
+            age == cap flips stopped; age after k steps is k)."""
+            return min(req_cap(req), n_steps_cap - 1) + 1
+
         # ---- initial fill
         pull(b)
-        first = [buffered.pop(0) if buffered else None for _ in range(b)]
+        first = [pop_next() if buffered else None for _ in range(b)]
         if all(req is None for req in first):
             return {}
         live = np.array([req is not None for req in first])
@@ -681,34 +744,73 @@ class ServingEngine:
         slot_gen = [0] * b
         bufs = [[] for _ in range(b)]
         t_assign = [time.time()] * b
+        # eager-retirement bookkeeping: decode steps dispatched in total,
+        # and the count at each slot's last (re)fill. The slot is
+        # device-guaranteed stopped once steps_dispatched - refill_step
+        # >= guarantee (eff_cap) — every step past the guarantee was
+        # dispatched AFTER the stopping step in device program order.
+        steps_dispatched = 0
+        refill_step = [0] * b
+        guarantee = [eff_cap(req) if req is not None else 0 for req in first]
+        # generations eagerly retired (refilled over) before their
+        # stopping chunk was harvested: (slot, gen) -> in-progress record.
+        # Their stopping chunk is always already in `inflight` when they
+        # move here (eligibility requires it dispatched), so draining
+        # inflight finalizes every pending record.
+        pending: dict = {}
         results = {}
         # FIFO retire pointer: refills target the contiguous run of
-        # harvested slots starting here (every device-side slot write is
+        # retirable slots starting here (every device-side slot write is
         # then a dynamic_update_slice — see _refill). A slot that finishes
-        # early waits as a harvested "zombie" (stopped on device, emits
+        # early waits as a retired "zombie" (stopped on device, emits
         # nothing) until the pointer sweeps past it; the device-time cost
         # of that wait is far below what arbitrary-slot scatter refills
         # paid (measured, see ops/ring.py paste_rows).
         fifo_q = 0
 
-        def outstanding():
-            return any(req is not None and not harvested[s]
-                       for s, req in enumerate(slot_req))
+        def retirable(s):
+            return (slot_req[s] is None or harvested[s]
+                    or steps_dispatched - refill_step[s] >= guarantee[s])
+
+        def device_live():
+            """Some slot may still be emitting (host knowledge)."""
+            return any(
+                req is not None and not harvested[s]
+                and steps_dispatched - refill_step[s] < guarantee[s]
+                for s, req in enumerate(slot_req)
+            )
+
+        def unfinished():
+            return pending or any(
+                req is not None and not harvested[s]
+                for s, req in enumerate(slot_req)
+            )
 
         # ---- pipelined chunk loop: up to pipeline_depth chunks in flight.
         # Dispatch is async (device starts immediately); the blocking fetch
         # of chunk k's outputs then overlaps chunk k+1's device time
         # instead of idling the chip for the relay round-trip + host
-        # harvest work. Refills decided from chunk k's harvest execute
-        # after the already-dispatched chunk k+1 (device program order) —
-        # one extra chunk of zombie steps per refill, paid for many times
-        # over by the hidden per-chunk sync (~30 ms relay RT, CLAUDE.md).
+        # harvest work. Refill timing is host-computed (eager retirement,
+        # see serve docstring), so the harvest round-trip is entirely off
+        # the scheduling critical path — only natural-EOS-earlier-than-cap
+        # retirement waits on a fetch.
         inflight: list = []  # (em, ev, stopped_u8, nat_u8, gen snapshot)
 
         def dispatch_chunk():
-            nonlocal state
+            nonlocal state, steps_dispatched
             state, em, ev, st_u8, nat_u8 = self._chunk_fn(params, state)
             inflight.append((em, ev, st_u8, nat_u8, list(slot_gen)))
+            steps_dispatched += self.steps_per_sync
+
+        def finalize(req, buf, t0, nat):
+            results[req.request_id] = res = {
+                "tokens": buf,
+                "length": len(buf),
+                "stopped": bool(nat),
+                "latency_s": time.time() - t0,
+            }
+            if on_result is not None:
+                on_result(req.request_id, res)
 
         def harvest_oldest():
             em, ev, st_u8, nat_u8, sgen = inflight.pop(0)
@@ -716,34 +818,33 @@ class ServingEngine:
             # round-trip regardless of payload)
             em, ev, stopped, nat = jax.device_get((em, ev, st_u8, nat_u8))
             for slot in range(b):
-                req = slot_req[slot]
-                if (req is None or harvested[slot]
-                        or sgen[slot] != slot_gen[slot]):
-                    continue
-                bufs[slot].extend(int(t) for t in em[ev[:, slot], slot])
-                if stopped[slot]:
-                    results[req.request_id] = {
-                        "tokens": bufs[slot],
-                        "length": len(bufs[slot]),
-                        "stopped": bool(nat[slot]),
-                        "latency_s": time.time() - t_assign[slot],
-                    }
-                    harvested[slot] = True
-                    bufs[slot] = []
-                    if on_result is not None:
-                        on_result(req.request_id, results[req.request_id])
+                g = sgen[slot]
+                if g == slot_gen[slot]:
+                    req = slot_req[slot]
+                    if req is None or harvested[slot]:
+                        continue
+                    bufs[slot].extend(int(t) for t in em[ev[:, slot], slot])
+                    if stopped[slot]:
+                        finalize(req, bufs[slot], t_assign[slot], nat[slot])
+                        harvested[slot] = True
+                        bufs[slot] = []
+                elif (slot, g) in pending:
+                    # an eagerly retired generation: its slot was refilled
+                    # while this chunk was in flight
+                    req, buf, t0 = pending[(slot, g)]
+                    buf.extend(int(t) for t in em[ev[:, slot], slot])
+                    if stopped[slot]:
+                        finalize(req, buf, t0, nat[slot])
+                        del pending[(slot, g)]
 
         def do_refills():
             nonlocal state, fifo_q
             while pull(self._refill_sizes[-1]):
-                # contiguous retire run at the pointer, split at the
+                # contiguous retirable run at the pointer, split at the
                 # slot-ring wrap boundary (blocks must not wrap: the
                 # device write is a dynamic_update_slice)
                 run = 0
-                while run < b and (
-                    slot_req[(fifo_q + run) % b] is None
-                    or harvested[(fifo_q + run) % b]
-                ):
+                while run < b and retirable((fifo_q + run) % b):
                     run += 1
                 avail = min(run, b - fifo_q)
                 n = min(avail, len(buffered))
@@ -752,12 +853,12 @@ class ServingEngine:
                 fits = [k for k in self._refill_sizes if k <= avail]
                 tail = len(buffered) == n  # queue empties after this batch
                 if (n < self.min_refill and not tail and avail == run
-                        and outstanding()):
+                        and device_live()):
                     # wait for a bigger block: a small dispatch costs ~a
                     # fixed prefill floor; zombie slot-steps are cheaper.
                     # Exempt: wrap-boundary fills (avail < run splits a
                     # big run), queue tails, and an otherwise-idle device
-                    # (nothing outstanding -> waiting would starve).
+                    # (nothing possibly emitting -> waiting would starve).
                     break
                 cover = [k for k in fits if k >= n]
                 if tail and cover:
@@ -765,23 +866,27 @@ class ServingEngine:
                 else:
                     r = max(k for k in fits if k <= n)  # no mid-stream pad
                 n_real = min(r, n)
-                batch = [buffered.pop(0) for _ in range(n_real)]
+                batch = [pop_next() for _ in range(n_real)]
                 caps = np.array(
                     [req_cap(req) for req in batch] + [0] * (r - n_real),
                     np.int32,
                 )
                 now = time.time()
-                for i, req in enumerate(batch):
+                for i in range(r):
                     s = fifo_q + i
+                    req = batch[i] if i < n_real else None
+                    old = slot_req[s]
+                    if old is not None and not harvested[s]:
+                        # eagerly retired: stopping chunk still in flight
+                        pending[(s, slot_gen[s])] = (old, bufs[s],
+                                                     t_assign[s])
                     slot_req[s] = req
                     harvested[s] = False
                     slot_gen[s] += 1
                     bufs[s] = []
                     t_assign[s] = now
-                for i in range(n_real, r):  # padding rows: dead slots
-                    slot_req[fifo_q + i] = None
-                    harvested[fifo_q + i] = False
-                    slot_gen[fifo_q + i] += 1
+                    refill_step[s] = steps_dispatched
+                    guarantee[s] = eff_cap(req) if req is not None else 0
                 state = self._refill_jit(
                     r, params, state, stack_prefixes(batch, r),
                     jnp.asarray(fifo_q, jnp.int32), jnp.asarray(caps),
@@ -789,12 +894,17 @@ class ServingEngine:
                 )
                 fifo_q = (fifo_q + r) % b
 
-        while outstanding() or inflight:
-            # top up the pipeline: the host view of `outstanding` lags the
-            # device by the in-flight chunks, so at most pipeline_depth - 1
-            # tail chunks run with nothing left to do
-            while outstanding() and len(inflight) < self.pipeline_depth:
-                dispatch_chunk()
-            harvest_oldest()
+        # Progress argument: each iteration either dispatches work,
+        # harvests a chunk (strictly draining inflight), or exits. When
+        # the device may still be emitting, the pipeline is topped up;
+        # refills are dispatched the moment their block's guarantee
+        # elapses (host arithmetic — no fetch on the scheduling path).
+        while True:
             do_refills()
+            while device_live() and len(inflight) < self.pipeline_depth:
+                dispatch_chunk()
+            if inflight:
+                harvest_oldest()
+            elif not unfinished() and not pull(1):
+                break
         return results

@@ -211,3 +211,62 @@ def test_generation_settings_has_no_attend_quantum():
     assert "attend_quantum" not in names
     with pytest.raises(TypeError):
         GenerationSettings(max_new_tokens=4, attend_quantum=4)
+
+
+def test_beam_search_batched_matches_per_image(lm_params):
+    """Batched beam (N images x beams in one executable, block-diagonal
+    selection) must be token/score-identical to per-image beam_search —
+    the r4 batching that lifts the 4.8 c/s serial beam rate."""
+    from clipcap_tpu.decode import beam_search_batched
+
+    n_img, beam, n = 5, 4, 9
+    embeds = jax.random.normal(jax.random.PRNGKey(13), (n_img, 5, CFG.n_embd))
+    # a real stop token so some beams freeze mid-scan (exercises the
+    # stopped-beam column-0 freeze per image independently)
+    solo = [beam_search(gpt2, lm_params, CFG, embeds[i:i + 1], beam_size=beam,
+                        max_new_tokens=n, stop_token_id=11)
+            for i in range(n_img)]
+    batched = beam_search_batched(gpt2, lm_params, CFG, embeds,
+                                  beam_size=beam, max_new_tokens=n,
+                                  stop_token_id=11)
+    for i in range(n_img):
+        np.testing.assert_array_equal(np.asarray(batched["tokens"][i]),
+                                      np.asarray(solo[i]["tokens"]))
+        np.testing.assert_array_equal(np.asarray(batched["seq_lengths"][i]),
+                                      np.asarray(solo[i]["seq_lengths"]))
+        np.testing.assert_allclose(np.asarray(batched["scores"][i]),
+                                   np.asarray(solo[i]["scores"]), atol=1e-5)
+
+
+def test_beam_search_batched_int8(lm_params):
+    """Batched beam over the int8 ring of scale slabs (ks/vs follow the
+    beam gather) matches per-image int8 beam."""
+    from clipcap_tpu.decode import beam_search_batched
+
+    params_q = gpt2.quantize_params(lm_params)
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(14), (3, 4, CFG.n_embd), jnp.bfloat16)
+    solo = [beam_search(gpt2.gpt2_int8, params_q, CFG, embeds[i:i + 1],
+                        beam_size=3, max_new_tokens=7) for i in range(3)]
+    batched = beam_search_batched(gpt2.gpt2_int8, params_q, CFG, embeds,
+                                  beam_size=3, max_new_tokens=7)
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(batched["tokens"][i]),
+                                      np.asarray(solo[i]["tokens"]))
+
+
+def test_topk_iter_matches_lax_topk():
+    """_topk_iter must reproduce lax.top_k exactly, including the
+    lowest-index-first tie order, on rows with duplicates and -infs."""
+    from clipcap_tpu.decode.beam import _topk_iter
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(6, 40)).astype(np.float32)
+    x[0, 5] = x[0, 17] = x[0].max() + 1.0  # exact ties
+    x[1, :35] = -np.inf  # -inf tail, 5 finite
+    x[2, 3] = x[2, 4] = x[2, 9] = 2.0
+    xv = jnp.asarray(x)
+    want_v, want_i = jax.lax.top_k(xv, 5)
+    got_v, got_i = _topk_iter(xv, 5)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v))

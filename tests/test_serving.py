@@ -485,3 +485,48 @@ def test_serving_pipelined_loop_matches_sync_loop():
         assert deep[req.request_id]["tokens"] == want, req.request_id
         assert deep[req.request_id]["tokens"] == sync[req.request_id]["tokens"]
         assert deep[req.request_id]["stopped"] == want_stopped
+
+
+def test_serving_length_admission_matches_fifo_greedy():
+    """admission="length" (cap-sorted look-ahead) must return the same
+    per-request greedy tokens as FIFO admission — slot/step placement
+    changes, per-slot streams don't."""
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    caps = [12, 2, 9, 3, 11, 4, 7, 2, 10, 5]
+    reqs = _requests(10, seed=6, caps=caps)
+    eng = ServingEngine(gpt2, CFG, prefix_len=P, settings=SETTINGS, slots=2,
+                        steps_per_sync=3, dtype=jnp.float32)
+    fifo = eng.serve(list(reqs), params)
+    sorted_adm = eng.serve(list(reqs), params, admission="length")
+    assert set(fifo) == set(sorted_adm) == {r.request_id for r in reqs}
+    for r in reqs:
+        g, w = sorted_adm[r.request_id], fifo[r.request_id]
+        assert (g["tokens"], g["stopped"]) == (w["tokens"], w["stopped"]), \
+            r.request_id
+
+
+def test_serving_eager_retirement_preserves_pending_tokens():
+    """Eager cap-based retirement: with deep pipelining and 1-step chunks,
+    slots are refilled BEFORE the stopping chunk of the previous occupant
+    is harvested (the (slot, gen) pending map carries its tokens). Every
+    request must still match its solo engine run exactly."""
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    caps = [2, 8, 3, 12, 5, 1, 4, 6, 2, 7, 3, 9]
+    reqs = _requests(12, seed=13, caps=caps)
+    eng = ServingEngine(gpt2, CFG, prefix_len=P, settings=SETTINGS,
+                        slots=2, steps_per_sync=1, dtype=jnp.float32,
+                        pipeline_depth=6)
+    got = eng.serve(reqs, params)
+    assert set(got) == {r.request_id for r in reqs}
+    for req in reqs:
+        want, want_stopped = _engine_single(gpt2, params, req, SETTINGS)
+        assert got[req.request_id]["tokens"] == want, req.request_id
+        assert got[req.request_id]["stopped"] == want_stopped
+
+
+def test_serving_rejects_unknown_admission():
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(gpt2, CFG, prefix_len=P, settings=SETTINGS, slots=2,
+                        dtype=jnp.float32)
+    with pytest.raises(ValueError, match="admission"):
+        eng.serve(_requests(2, seed=1), params, admission="priority")
