@@ -18,7 +18,11 @@ inference.py:97/:249), plus the rest of the framework's hot surfaces:
   config #2 (GPT2-XL prefix-only, the reference's headline run);
 - the C++ shard loader's feed rate.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+Prints TWO JSON lines: a {"detail": {...}} line with every phase's
+numbers, then a compact FINAL line {"metric", "value", "unit",
+"vs_baseline", ...} — the driver tail-captures stdout and the last line
+must always parse on its own (r3's single giant line outgrew the capture
+window and the round's headline was lost).
 
 Timing notes for this environment: the TPU is reached through a relay
 where block_until_ready() does not synchronize reliably and a synced
@@ -235,11 +239,17 @@ def _bench_preprocess_e2e(n_images: int = 1536, batch: int = 128,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _bench_vit_encode(batch: int = 256, iters: int = 10) -> float:
-    """Second headline (BASELINE.md): ViT-B/32 image-encode throughput —
+def _bench_vit_encode(batch: int = 256, iters: int = 10,
+                      variant: str = "ViT-B/32") -> float:
+    """Second headline (BASELINE.md): ViT image-encode throughput —
     the DEVICE half only of the webdataset->embedding-shards preprocessor
     (random device-resident tensors in, no JPEG decode / host transfer;
     see _bench_preprocess_e2e for the end-to-end rate).
+
+    variant "ViT-B/32" is the config #1 encoder; "ViT-L/14" is config #3's
+    (24 layers, width 1024, T=257 — the geometry VERDICT r3 weak #6 wanted
+    measured; use batch 128 there, the 7x patch count needs the smaller
+    step).
 
     bf16 only: the opt-in int8 encode loses ~8% at 768-wide matmuls (the
     dynamic activation-quant + dequant overhead exceeds the MXU gain at
@@ -252,7 +262,7 @@ def _bench_vit_encode(batch: int = 256, iters: int = 10) -> float:
     from clipcap_tpu.core.config import ViTConfig
     from clipcap_tpu.models import vit
 
-    cfg = ViTConfig.clip_variant("ViT-B/32")
+    cfg = ViTConfig.clip_variant(variant)
     params = jax.jit(lambda k: vit.init(k, cfg, dtype=jnp.bfloat16))(
         jax.random.PRNGKey(0)
     )
@@ -602,7 +612,8 @@ SERVE_MAX_NEW = 67  # the reference decode contract: entry_length=67
 
 def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
                    n_requests: int = 2048, pipeline_depth: int = 2,
-                   include_static: bool = True) -> dict:
+                   include_static: bool = True,
+                   admission: str = "length") -> dict:
     """Continuous batching (decode/serving.py) vs the static engine on the
     reference production decode contract: entry_length=67 as the hard cap
     (reference inference.py:225), with requests finishing at natural-EOS
@@ -658,8 +669,14 @@ def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
     reqs = [Request(i, i, max_length=int(caps[i])) for i in range(n_requests)]
 
     def run_serving():
+        # admission="length" sorts the look-ahead window by the known
+        # per-request cap so FIFO-retired blocks hold near-equal lengths
+        # (serving.py serve docstring); combined with eager cap-based
+        # retirement this removes the zombie slot-steps that held r3's
+        # serving at ~48% of its component roofline (VERDICT r3 weak #2)
         return serv.serve(reqs, params_q, rng=jax.random.PRNGKey(0),
-                          prefix_pool=pool)
+                          prefix_pool=pool, admission=admission,
+                          admission_lookahead=n_requests)
 
     # ---- static baseline: same requests in slot-sized batches, per-row
     # max_length vectors (the engine supports those), full scan per batch
@@ -693,10 +710,17 @@ def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
 
     return {
         "serving_captions_per_sec": round(n_requests / t_serving, 1),
+        # "is not None" (not truthiness): include_static=False must read as
+        # "not measured", and a pathological 0.0 must not masquerade as it
         "static_engine_captions_per_sec": (
-            round(n_requests / t_static, 1) if t_static else None),
-        "speedup": round(t_static / t_serving, 3) if t_static else None,
+            round(n_requests / t_static, 1) if t_static is not None else None),
+        "speedup": (round(t_static / t_serving, 3)
+                    if t_static is not None else None),
         "pipeline_depth": pipeline_depth,
+        "admission": admission,
+        # latency is stamped dispatch-to-harvest and so includes up to
+        # pipeline_depth chunks of pipeline lag — compare across runs only
+        # at equal depth (serving.py serve docstring)
         "latency_p50_s": round(lats[len(lats) // 2], 3),
         "latency_p99_s": round(lats[min(len(lats) - 1, int(len(lats) * 0.99))], 3),
         "slots": slots,
@@ -709,16 +733,24 @@ def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
     }
 
 
-def _bench_beam(cfg, params_q, beam_size: int = 5) -> dict:
-    """Beam-search latency (decode/beam.py — the reference generate_beam
-    path, inference.py:70-148, which recomputes the full sequence per
-    token per beam; here KV-cached with per-step slab reorder). Batch-1
-    by reference contract; int8 weight streaming. Returns ms per caption
-    and per generated token."""
+def _bench_beam(cfg, params_q, beam_size: int = 5,
+                batched_images: int = 64) -> dict:
+    """Beam search (decode/beam.py — the reference generate_beam path,
+    inference.py:70-148, which recomputes the full sequence per token per
+    beam; here KV-cached with per-step slab reorder). Two numbers:
+
+    - batch-1 latency (the reference contract) — weight-stream-bound, the
+      MXU idles at 5 rows;
+    - beam_search_batched throughput at `batched_images` x beam_size rows
+      in ONE executable (block-diagonal per-image selection by iterated
+      argmax, not lax.top_k's full sort) — the evaluate/infer beam
+      workload shape (VERDICT r3 weak #3).
+
+    int8 weights + int8 KV."""
     import jax
     import jax.numpy as jnp
 
-    from clipcap_tpu.decode.beam import beam_search
+    from clipcap_tpu.decode.beam import beam_search, beam_search_batched
     from clipcap_tpu.models import gpt2
 
     prefix = jax.random.normal(
@@ -740,10 +772,37 @@ def _bench_beam(cfg, params_q, beam_size: int = 5) -> dict:
         float(run(params_q, prefix))
         ts.append(time.perf_counter() - t0)
     ts.sort()
+
+    prefix_n = jax.random.normal(
+        jax.random.PRNGKey(8), (batched_images, PREFIX_LEN, cfg.n_embd),
+        jnp.bfloat16,
+    )
+
+    @jax.jit
+    def run_batched(params_q, prefix_n):
+        out = beam_search_batched(
+            gpt2.gpt2_int8, params_q, cfg, prefix_n, beam_size=beam_size,
+            max_new_tokens=NEW_TOKENS, stop_token_id=13,
+        )
+        return jnp.sum(out["tokens"]) + jnp.sum(out["scores"])
+
+    float(run_batched(params_q, prefix_n))  # compile
+    tb = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_batched(params_q, prefix_n))
+        tb.append(time.perf_counter() - t0)
+    tb.sort()
+
     return {
         "beam_size": beam_size,
         "caption_latency_ms": round(ts[1] * 1000, 1),
         "ms_per_token": round(ts[1] / NEW_TOKENS * 1000, 2),
+        "batched_images": batched_images,
+        "batched_captions_per_sec": round(batched_images / tb[1], 1),
+        "batched_ms_per_image": round(tb[1] / batched_images * 1000, 2),
+        "batched_vs_serial_speedup": round(
+            (ts[1] * batched_images) / tb[1], 1),
     }
 
 
@@ -895,6 +954,250 @@ def _bench_train_step(batch: int = 128, seq: int = 40,
     return 1.0 / dt, batch * seq / dt, mfu
 
 
+def _bench_gptj_prefix_train(batch: int = 32, seq: int = 40,
+                             prefix_len: int = 40, k_steps: int = 3,
+                             reps: int = 2):
+    """BASELINE config #4's TRAINING half: GPT-J 6B prefix-only tuning on
+    one chip (reference train.py:236-245 with --language-model gpt-j).
+    Frozen LM lives in bf16 from creation (12.1 GB — a f32 init would OOM
+    the 16 GB HBM, so the LM is built directly in bf16 and only the
+    trainable mapper gets f32 masters, exactly the XL prefix-only recipe);
+    remat on. Returns (steps/sec, mfu) or (None, None) if it can't fit."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from clipcap_tpu.core.config import (
+        CaptionerConfig, GPTJConfig, MapperConfig, TrainConfig,
+    )
+    from clipcap_tpu.models import captioner
+    from clipcap_tpu.train import create_train_state, make_train_step
+
+    lm_cfg = GPTJConfig.variant("gptj")
+    map_cfg = MapperConfig(dim_clip=512, dim_embedding=lm_cfg.n_embd,
+                           prefix_length=prefix_len, clip_length=10)
+    cap_cfg = CaptionerConfig(lm_type="gpt-j", mapper=map_cfg,
+                              prefix_only=True)
+    train_cfg = TrainConfig(
+        optimizer_lr=2e-5, scheduler_warmup_steps=100, total_steps=10_000,
+        gradient_clip_val=-1.0, bf16_compute=True,
+    )
+    # mapper f32 (gets masters), LM bf16 outright
+    from clipcap_tpu.models import gptj, mapper as mapper_mod
+
+    params = {
+        "mapper": jax.jit(lambda k: mapper_mod.init(k, map_cfg))(
+            jax.random.PRNGKey(0)),
+        "lm": jax.jit(lambda k: gptj.init(k, lm_cfg, dtype=jnp.bfloat16))(
+            jax.random.PRNGKey(1)),
+    }
+    state, tx = create_train_state(jax.random.PRNGKey(0), cap_cfg, lm_cfg,
+                                   train_cfg, params=params)
+    del params
+    step_fn = make_train_step(cap_cfg, lm_cfg, train_cfg, tx, donate=False)
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, lm_cfg.vocab_size, size=(batch, seq)).astype(np.int64)
+    tokens[:, -5:] = -1
+    batch_data = {
+        "tokens": jnp.asarray(tokens),
+        "prefix": jnp.asarray(rng.normal(size=(batch, 512)).astype(np.float32)),
+    }
+
+    def many(st, _):
+        def body(st, _):
+            st, m = step_fn(st, batch_data)
+            return st, m["loss"]
+        return jax.lax.scan(body, st, None, length=k_steps)
+
+    many_j = jax.jit(many, donate_argnums=(0,))
+    state, losses = many_j(state, 0)
+    float(losses[-1])  # compile + settle
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, losses = many_j(state, 0)
+        float(losses[-1])
+        best = min(best, time.perf_counter() - t0)
+    dt = max(best - 0.030, 1e-9) / k_steps
+    flops = _train_matmul_flops(lm_cfg, map_cfg, batch, seq, prefix_only=True)
+    return 1.0 / dt, flops / dt / 175e12
+
+
+def _bench_clip_guided(branching: int = 3, look_ahead: int = 2,
+                       max_decode_length: int = 40, lm_cfg=None,
+                       text_cfg=None) -> dict:
+    """CLIP-guided lookahead decode (decode/clip_guided.py — the
+    reference's generate_clip_guided, evaluate_model.py:183-310, its most
+    expensive sampler and a cli/evaluate default): ms per image at
+    reference-like settings. GPT2-XL bf16 (the tree search runs
+    whole-sequence forwards — no int8 apply), real CLIP text tower doing
+    the candidate scoring; the tokenizer is a synthetic id<->word map
+    (lossless for timing: tokenize/decode cost is negligible next to the
+    branching^depth XL forwards)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from clipcap_tpu.core.config import (
+        CaptionerConfig, CLIPTextConfig, GPT2Config, MapperConfig,
+    )
+    from clipcap_tpu.decode.clip_guided import generate_clip_guided
+    from clipcap_tpu.models import captioner, clip_text, gpt2, mapper
+    from clipcap_tpu.models.bundle import CaptionerBundle
+
+    if lm_cfg is None:
+        lm_cfg = GPT2Config.variant("gpt2-xl")
+    if text_cfg is None:
+        text_cfg = CLIPTextConfig()
+    map_cfg = MapperConfig(dim_clip=512, dim_embedding=lm_cfg.n_embd,
+                           prefix_length=PREFIX_LEN, clip_length=10)
+    cap_cfg = CaptionerConfig(lm_type="gpt2", mapper=map_cfg)
+    params = {
+        "mapper": jax.jit(
+            lambda k: mapper.init(k, map_cfg, dtype=jnp.bfloat16))(
+            jax.random.PRNGKey(0)),
+        "lm": jax.jit(lambda k: gpt2.init(k, lm_cfg, dtype=jnp.bfloat16))(
+            jax.random.PRNGKey(1)),
+    }
+
+    class _Tok:
+        bos_token_id = lm_cfg.vocab_size - 1
+        all_special_ids = (lm_cfg.vocab_size - 1,)
+
+        def decode_tokens(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    text_params = jax.jit(
+        lambda k: clip_text.init(k, text_cfg, dtype=jnp.bfloat16))(
+        jax.random.PRNGKey(2))
+
+    class _Scoring:
+        """Real CLIP text tower; host 'tokenization' hashes the synthetic
+        number-words into the CLIP vocab (device cost is the real thing)."""
+
+        def __init__(self):
+            self._encode = jax.jit(
+                lambda toks: clip_text.apply(text_params, text_cfg, toks))
+
+        def embed_text(self, texts):
+            ctx = text_cfg.context_length
+            toks = np.zeros((len(texts), ctx), np.int32)
+            for i, t in enumerate(texts):
+                ids = [(hash(w) % (text_cfg.vocab_size - 3)) + 1
+                       for w in t.split()][: ctx - 2]
+                toks[i, : len(ids) + 2] = [text_cfg.vocab_size - 2] + ids + [
+                    text_cfg.vocab_size - 1]
+            return self._encode(jnp.asarray(toks)).astype(jnp.float32)
+
+    bundle = CaptionerBundle(params=params, cap_cfg=cap_cfg, lm_cfg=lm_cfg,
+                             tokenizer=_Tok())
+    prefix = jax.random.normal(
+        jax.random.PRNGKey(3), (1, PREFIX_LEN, lm_cfg.n_embd), jnp.bfloat16)
+    img_emb = jax.random.normal(jax.random.PRNGKey(4),
+                                (text_cfg.output_dim,), jnp.float32)
+
+    def one():
+        return generate_clip_guided(
+            bundle, _Scoring(), img_emb, prefix,
+            max_decode_length=max_decode_length,
+            look_ahead=look_ahead, branching_factor=branching,
+        )
+
+    one()  # compile every level shape
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        one()
+        ts.append(time.perf_counter() - t0)
+    return {
+        "ms_per_image": round(min(ts) * 1000, 1),
+        "branching": branching,
+        "look_ahead": look_ahead,
+        "max_decode_length": max_decode_length,
+    }
+
+
+def _bench_tokenizer(n_captions: int = 20_000) -> dict:
+    """Host-side BPE throughput (tokenizers/bpe.py — the pure-Python
+    replacement for HF's Rust tokenizer, reference lms/GPT2.py:24).
+    The merge table is trained on the fly from the synthetic corpus (the
+    real 50k-merge table isn't downloadable here — PARITY.md), so the
+    per-word merge-loop depth is exercised realistically. Returns
+    tokens/sec and captions/sec at COCO-like caption lengths — the number
+    that decides whether tokenization stays off the preprocess critical
+    path (~140 img/s upload ceiling needs only ~1.7k tok/s)."""
+    import numpy as np
+
+    from clipcap_tpu.tokenizers.bpe import ByteLevelBPE, bytes_to_unicode
+
+    rng = np.random.default_rng(0)
+    common = ["the", "a", "man", "woman", "dog", "riding", "standing",
+              "holding", "street", "table", "skateboard", "group", "people",
+              "sitting", "next", "to", "on", "in", "with", "playing",
+              "baseball", "field", "plate", "food", "kitchen", "bathroom"]
+    # ~3k distinct rare words keep the per-word _bpe cache hit rate
+    # realistic (COCO: ~25k distinct words over 600k captions — caption
+    # text IS cache-friendly, but not a 26-word loop)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    rare = ["".join(rng.choice(letters, size=rng.integers(4, 10)))
+            for _ in range(3000)]
+    words = np.array(common * 100 + rare)  # Zipf-ish: common dominate
+    caps = [" ".join(rng.choice(words, size=rng.integers(8, 14))) + "."
+            for _ in range(n_captions)]
+
+    # tiny on-the-fly BPE training: merge the most frequent pair until the
+    # corpus' pair supply dries up (same loop shape as real GPT-2 merges)
+    b2u = bytes_to_unicode()
+    freq = {}
+    for cap in caps[:2000]:
+        for w in cap.split():
+            t = tuple(b2u[b] for b in (" " + w).encode())
+            freq[t] = freq.get(t, 0) + 1
+    merges = []
+    for _ in range(500):
+        pairs = {}
+        for word, f in freq.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] = pairs.get(
+                    (word[i], word[i + 1]), 0) + f
+        if not pairs:
+            break
+        best = max(pairs, key=pairs.get)
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        new_freq = {}
+        for word, f in freq.items():
+            out, i = [], 0
+            while i < len(word):
+                if (i < len(word) - 1 and (word[i], word[i + 1]) == best):
+                    out.append(word[i] + word[i + 1])
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_freq[tuple(out)] = new_freq.get(tuple(out), 0) + f
+        freq = new_freq
+    alphabet = list(dict.fromkeys(b2u.values()))
+    pieces = list(dict.fromkeys(
+        alphabet + [a + b for a, b in merges] + ["<|endoftext|>"]))
+    vocab = {t: i for i, t in enumerate(pieces)}
+    tok = ByteLevelBPE(vocab, merges)
+
+    tok.encode(caps[0])  # warm regex/lru caches
+    t0 = time.perf_counter()
+    n_tokens = 0
+    for cap in caps:
+        n_tokens += len(tok.encode(cap))
+    dt = time.perf_counter() - t0
+    return {
+        "tokens_per_sec": round(n_tokens / dt),
+        "captions_per_sec": round(n_captions / dt),
+        "n_merges": len(merges),
+    }
+
+
 def _relay_alive(timeout_s: int = 360) -> bool:
     """Fail fast when the axon relay is wedged (it can stall for hours —
     CLAUDE.md): probe one trivial device op in a SUBPROCESS with a hard
@@ -1009,11 +1312,25 @@ def main():
     del params, prefix, prefix_512
     reclaim_hbm()
     serving = safe(_bench_serving, cfg, params_q)
+    # latency-vs-throughput curve (VERDICT r3 item 8): smaller slot counts
+    # trade throughput for latency; static baseline measured once above
+    serving_curve = [
+        {k: s[k] for k in ("slots", "serving_captions_per_sec",
+                           "latency_p50_s", "latency_p99_s")}
+        for s in (safe(_bench_serving, cfg, params_q, slots=n,
+                       include_static=False) for n in (128, 256))
+        if s
+    ]
+    reclaim_hbm()
     beam = safe(_bench_beam, cfg, params_q)
     del params_q
     reclaim_hbm()
+    clip_guided = safe(_bench_clip_guided)
+    reclaim_hbm()
     vit_ips = safe(_bench_vit_encode)
+    vit_l14_ips = safe(_bench_vit_encode, batch=128, variant="ViT-L/14")
     prepro_ips = safe(_bench_preprocess_e2e)
+    tokenizer = safe(_bench_tokenizer)
     genb_ms = safe(_bench_genb_synthesis)
     train_steps_s, train_tokens_s, train_mfu = safe(
         _bench_train_step, default=(None, None, None))
@@ -1023,6 +1340,10 @@ def main():
         _bench_train_step, batch=64, lm_variant="gpt2-xl", prefix_only=True,
         prefix_len=40, k_steps=5, default=(None, None, None),
     )
+    reclaim_hbm()
+    # config #4's training half: GPT-J 6B prefix-only (VERDICT r3 item 7)
+    gptj_train_steps_s, gptj_train_mfu = safe(
+        _bench_gptj_prefix_train, default=(None, None))
     reclaim_hbm()
     gptj6b_cps = safe(_bench_gptj_6b_int8, batch=256)
     reclaim_hbm()
@@ -1035,13 +1356,13 @@ def main():
     # not confuse "failed to measure" with "zero throughput"
     captions_per_sec = batch_int8 / p50_int8 if p50_int8 else None
 
+    # detail JSON on its OWN line first; the compact headline is the FINAL
+    # line. The driver captures a bounded tail of stdout — r3's single
+    # giant line outgrew it and the round's headline was lost
+    # (BENCH_r03.json parsed: null). The last line must always parse alone.
     print(
         json.dumps(
             {
-                "metric": "gpt2-xl_greedy_decode_throughput",
-                "value": rnd(captions_per_sec, 2),
-                "unit": "captions/sec/chip",
-                "vs_baseline": rnd(captions_per_sec and captions_per_sec / BASELINE_CAPTIONS_PER_SEC, 3),
                 "detail": {
                     "batch": batch_int8,
                     "prefix_len": PREFIX_LEN,
@@ -1059,6 +1380,7 @@ def main():
                     "pipeline_note": "mapper (12.6 TFLOP @ B=512) + engine default",
                     "vit_b32_encode_images_per_sec": rnd(vit_ips),
                     "vit_b32_encode_vs_10k_target": rnd(vit_ips and vit_ips / 10000.0, 3),
+                    "vit_l14_encode_images_per_sec": rnd(vit_l14_ips),
                     "preprocess_e2e_images_per_sec": rnd(prepro_ips),
                     "preprocess_e2e_workers": 4,
                     "preprocess_e2e_note": "tar -> native libjpeg decode (DCT prescale) -> uint8 upload -> device normalize+encode -> npy shards; host-decode-bound on this 1-core box, device encode is the line above",
@@ -1069,15 +1391,37 @@ def main():
                     "train_step_config2_xl_prefix_only_steps_per_sec":
                         rnd(xl_steps_s, 2),
                     "train_step_config2_xl_prefix_only_mfu": rnd(xl_mfu, 3),
+                    "train_step_gptj_prefix_only_steps_per_sec":
+                        rnd(gptj_train_steps_s, 2),
+                    "train_step_gptj_prefix_only_mfu": rnd(gptj_train_mfu, 3),
+                    "train_step_gptj_prefix_only_batch": 32,
                     "train_mfu_note": "device rate (k-step scan, relay round-trip subtracted); MFU = analytic matmul FLOPs / 175 TF/s measured bf16 peak",
                     "single_caption_p50_latency_ms_int8": rnd(single_ms),
                     "gptj_6b_int8_captions_per_sec_b256": rnd(gptj6b_cps),
                     "t0_11b_int8_captions_per_sec_b64": rnd(t0_11b_cps),
                     "speculative_b1_gpt2xl": spec,
                     "serving_continuous_batching": serving,
+                    "serving_latency_curve": serving_curve,
                     "beam_search_gpt2xl_int8": beam,
+                    "clip_guided_decode": clip_guided,
+                    "tokenizer_host_bpe": tokenizer,
                     "native_shard_loader_rows_per_sec": rnd(loader_rows_s),
                 },
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "gpt2-xl_greedy_decode_throughput",
+                "value": rnd(captions_per_sec, 2),
+                "unit": "captions/sec/chip",
+                "vs_baseline": rnd(
+                    captions_per_sec
+                    and captions_per_sec / BASELINE_CAPTIONS_PER_SEC, 3),
+                "serving_captions_per_sec": (
+                    serving or {}).get("serving_captions_per_sec"),
+                "detail": "previous stdout line",
             }
         )
     )

@@ -530,3 +530,34 @@ def test_serving_rejects_unknown_admission():
                         dtype=jnp.float32)
     with pytest.raises(ValueError, match="admission"):
         eng.serve(_requests(2, seed=1), params, admission="priority")
+
+
+def test_bench_clip_guided_phase_smoke():
+    """bench.py's _bench_clip_guided at tiny shapes on CPU (same rationale
+    as the serving/beam phase smokes)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+    from clipcap_tpu.core.config import CLIPTextConfig
+
+    cfg = GPT2Config(vocab_size=64, n_positions=128, n_embd=32, n_layer=2,
+                     n_head=4)
+    tcfg = CLIPTextConfig(vocab_size=64, context_length=16, width=32,
+                          layers=1, heads=4, output_dim=16)
+    out = bench._bench_clip_guided(branching=2, look_ahead=2,
+                                   max_decode_length=6, lm_cfg=cfg,
+                                   text_cfg=tcfg)
+    assert out["ms_per_image"] > 0
+
+
+def test_bench_tokenizer_phase_smoke():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    out = bench._bench_tokenizer(n_captions=500)
+    assert out["tokens_per_sec"] > 0 and out["n_merges"] > 0
