@@ -613,7 +613,8 @@ SERVE_MAX_NEW = 67  # the reference decode contract: entry_length=67
 def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
                    n_requests: int = 2048, pipeline_depth: int = 2,
                    include_static: bool = True,
-                   admission: str = "length") -> dict:
+                   admission: str = "length",
+                   declared_max: int = 0) -> dict:
     """Continuous batching (decode/serving.py) vs the static engine on the
     reference production decode contract: entry_length=67 as the hard cap
     (reference inference.py:225), with requests finishing at natural-EOS
@@ -665,6 +666,11 @@ def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
         # sync in steady state (serving.py FIFO retire)
         refill_sizes=(1, 16, 64, 256) if slots >= 512 else None,
         pipeline_depth=pipeline_depth,
+        # declared_max>0: the caller-declared per-request cap bound sizes
+        # the ring (serving.py max_request_length) — every decode step
+        # streams the whole ring, so a declaration is ~proportional step
+        # time off
+        max_request_length=declared_max or None,
     )
     reqs = [Request(i, i, max_length=int(caps[i])) for i in range(n_requests)]
 
@@ -718,6 +724,8 @@ def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
                     if t_static is not None else None),
         "pipeline_depth": pipeline_depth,
         "admission": admission,
+        "declared_max_request_length": declared_max or None,
+        "ring_len": serv.ring_len,
         # latency is stamped dispatch-to-harvest and so includes up to
         # pipeline_depth chunks of pipeline lag — compare across runs only
         # at equal depth (serving.py serve docstring)
@@ -1312,6 +1320,11 @@ def main():
     del params, prefix, prefix_512
     reclaim_hbm()
     serving = safe(_bench_serving, cfg, params_q)
+    # same workload with the caps DECLARED to the engine (ring 73 vs 108):
+    # the production config when the caller knows its length budget
+    serving_declared = safe(_bench_serving, cfg, params_q,
+                            include_static=False, declared_max=30)
+    reclaim_hbm()
     # latency-vs-throughput curve (VERDICT r3 item 8): smaller slot counts
     # trade throughput for latency; static baseline measured once above
     serving_curve = [
@@ -1401,6 +1414,7 @@ def main():
                     "t0_11b_int8_captions_per_sec_b64": rnd(t0_11b_cps),
                     "speculative_b1_gpt2xl": spec,
                     "serving_continuous_batching": serving,
+                    "serving_declared_maxlen_30": serving_declared,
                     "serving_latency_curve": serving_curve,
                     "beam_search_gpt2xl_int8": beam,
                     "clip_guided_decode": clip_guided,

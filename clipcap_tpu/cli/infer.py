@@ -118,6 +118,7 @@ def folder_demo(
     draft_bundle=None,
     **generation_kwargs,
 ) -> dict:
+    import numpy as np
     from PIL import Image
 
     from ..eval.scoring import generate_scores_full
@@ -127,17 +128,59 @@ def folder_demo(
     scoring_gts, scoring_res, image_id_to_url = {}, {}, {}
     image_id = 0
 
-    for image_file in sorted(samples_path.glob("*.jpg"))[:total_samples]:
+    files = sorted(samples_path.glob("*.jpg"))[:total_samples]
+    loaded = []
+    for image_file in files:
         image = Image.open(image_file).convert("RGB")
         metadata_file = image_file.with_suffix(".json")
-        metadata = json.loads(metadata_file.read_text()) if metadata_file.exists() else {}
+        metadata = (json.loads(metadata_file.read_text())
+                    if metadata_file.exists() else {})
+        loaded.append((image_file, image, metadata))
 
-        captions, image_features = demo_generate_captions(
-            bundle, clip_scoring, image,
-            number_to_generate=number_to_generate, text_prefix=text_prefix,
-            use_beam_search=use_beam_search, draft_bundle=draft_bundle,
-            **generation_kwargs,
-        )
+    # beam path: batch images x beams into one executable per chunk
+    # (beam_search_batched) instead of the reference's one-image-at-a-time
+    # loop — per-image beam leaves the chip ~99% idle (bench
+    # beam_search_gpt2xl_int8). Per-image results are identical.
+    batched_beam = use_beam_search and draft_bundle is None
+    all_captions = {}
+    if batched_beam:
+        from ..decode.beam import beam_search_batched, best_beam_texts
+
+        chunk = int(generation_kwargs.get("beam_image_batch", 16))
+        for lo in range(0, len(loaded), chunk):
+            part = loaded[lo:lo + chunk]
+            pixels = jnp.asarray(np.stack(
+                [np.asarray(clip_scoring.preprocess_image(img))
+                 for _, img, _ in part]))
+            prompt = bundle.project_prefix(bundle.encode_image(pixels))
+            if text_prefix is not None:
+                toks = jnp.asarray(
+                    [bundle.tokenizer.encode_text(text_prefix)] * len(part))
+                prompt = jnp.concatenate(
+                    [prompt, bundle.embed_text(toks)], axis=1)
+            out = beam_search_batched(
+                bundle.lm_decode, bundle.lm_decode_params, bundle.lm_cfg,
+                prompt,
+                beam_size=generation_kwargs.get("beam_size", 5),
+                max_new_tokens=generation_kwargs.get("entry_length", 67),
+                stop_token_id=bundle.tokenizer.encode_text(".")[0],
+                cache_constraint=getattr(bundle, "cache_constraint", None),
+            )
+            for (image_file, _, _), text in zip(
+                    part, best_beam_texts(out, bundle.tokenizer)):
+                all_captions[image_file] = [text]
+
+    for image_file, image, metadata in loaded:
+        if batched_beam:
+            captions = all_captions[image_file]
+        else:
+            captions, _ = demo_generate_captions(
+                bundle, clip_scoring, image,
+                number_to_generate=number_to_generate,
+                text_prefix=text_prefix,
+                use_beam_search=use_beam_search, draft_bundle=draft_bundle,
+                **generation_kwargs,
+            )
         print(image_file)
         print(captions)
 

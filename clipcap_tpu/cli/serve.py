@@ -24,6 +24,8 @@ def serve_shard(
     refill_size: int = 0,
     steps_per_sync: int = 16,
     map_batch: int = 512,
+    admission: str = "fifo",
+    max_lengths=None,  # optional [N] per-image new-token caps
     **generation_kwargs,
 ) -> int:
     """Caption every row of clip_features; returns the number written."""
@@ -53,8 +55,16 @@ def serve_shard(
         pool_parts.append(proj[: proj.shape[0] - pad])
     pool = jnp.concatenate(pool_parts, axis=0) if len(pool_parts) > 1 else pool_parts[0]
 
-    requests = [Request(i, i) for i in range(n)]
-    results = engine.serve(requests, bundle.lm_decode_params, prefix_pool=pool)
+    # with per-image caps known (e.g. a length-budgeted batch job),
+    # admission="length" groups refill blocks by cap so they retire
+    # together — see decode/serving.serve
+    requests = [
+        Request(i, i, max_length=(int(max_lengths[i])
+                                  if max_lengths is not None else None))
+        for i in range(n)
+    ]
+    results = engine.serve(requests, bundle.lm_decode_params,
+                           prefix_pool=pool, admission=admission)
 
     special = set(getattr(bundle.tokenizer, "all_special_ids", ()))
     with open(out_path, "w") as f:

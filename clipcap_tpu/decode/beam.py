@@ -250,3 +250,18 @@ def best_beam_text(result: dict, tokenizer) -> str:
     best = int(order[0])
     ids = [int(t) for t in tokens[best][: int(lengths[best])]]
     return tokenizer.decode_tokens(ids)
+
+
+def best_beam_texts(result: dict, tokenizer) -> list:
+    """Host-side: best beam per image from a beam_search_batched result —
+    ONE bundled device fetch for the whole batch (per-image fetches cost a
+    ~30 ms relay round-trip each)."""
+    tokens, lengths, scores = jax.device_get(
+        (result["tokens"], result["seq_lengths"], result["scores"])
+    )
+    out = []
+    for i in range(tokens.shape[0]):
+        best = int(scores[i].argmax())
+        ids = [int(t) for t in tokens[i, best][: int(lengths[i, best])]]
+        out.append(tokenizer.decode_tokens(ids))
+    return out

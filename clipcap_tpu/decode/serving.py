@@ -148,6 +148,7 @@ class ServingEngine:
         refill_sizes=None,
         min_refill: Optional[int] = None,
         pipeline_depth: int = 2,
+        max_request_length: Optional[int] = None,
     ):
         if not hasattr(lm, "decode_step_ring") or not hasattr(lm, "scatter_refill"):
             raise TypeError(
@@ -192,8 +193,24 @@ class ServingEngine:
         # slots decode data-parallel; slots must divide the data axis)
         self.cache_constraint = cache_constraint
         # ring capacity: the longest-lived row still needs its window-start
-        # entry on the step whose write overwrites timestep index - T
-        self.ring_len = self.prompt_len + settings.max_new_tokens + 1
+        # entry on the step whose write overwrites timestep index - T.
+        # A row refilled at index I0 claims [I0-P, I0-1] and its step k
+        # reads P+k entries, so T >= P + lifetime + 1; lifetime is bounded
+        # by the scan cap n — or, when the caller DECLARES that every
+        # request carries max_length <= max_request_length, by
+        # min(cap+1, n). Declaring it shrinks the per-step KV stream
+        # proportionally (every decode step reads the WHOLE ring — the
+        # fused full read beats any narrowed read, see decode/engine.py
+        # attend_len NOTE), e.g. entry_length=67 serving with declared
+        # caps <= 30 streams ring 72 instead of 108 per step (~33% less,
+        # measured 418.5 -> 481.2 c/s at 512 slots). serve() rejects
+        # requests whose effective cap exceeds the declaration.
+        n = settings.max_new_tokens
+        self.max_request_length = (
+            None if max_request_length is None else int(max_request_length))
+        lifetime = (n if self.max_request_length is None
+                    else min(n, self.max_request_length + 1))
+        self.ring_len = self.prompt_len + lifetime + 1
 
         self._init_fn = jax.jit(self._init)
         # state MUST be donated: chunk/refill are dispatched repeatedly from
@@ -706,7 +723,19 @@ class ServingEngine:
             default_cap = BIG
 
         def req_cap(req):
-            return req.max_length if req.max_length is not None else default_cap
+            cap = (req.max_length if req.max_length is not None
+                   else default_cap)
+            if (self.max_request_length is not None
+                    and min(cap, settings.max_new_tokens)
+                    > self.max_request_length):
+                raise ValueError(
+                    f"request {req.request_id!r} has effective cap {cap} > "
+                    f"the engine's declared max_request_length "
+                    f"{self.max_request_length} (its ring is sized for the "
+                    "declaration; route longer requests to an engine "
+                    "without one)"
+                )
+            return cap
 
         n_steps_cap = settings.max_new_tokens
 

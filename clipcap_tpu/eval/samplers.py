@@ -21,7 +21,8 @@ from typing import List, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..decode.beam import beam_search, best_beam_text
+from ..decode.beam import (beam_search, beam_search_batched, best_beam_text,
+                           best_beam_texts)
 from ..decode.clip_guided import generate_clip_guided
 from ..decode.engine import GenerationSettings, generate, trim_and_decode
 
@@ -158,3 +159,21 @@ class BeamCaptionSampler(CaptionSamplerBase):
             temperature=self.temperature, stop_token_id=stop_id,
         )
         return [best_beam_text(out, bundle.tokenizer)]
+
+    def sample_batch(self, bundle, image_tensors) -> List[str]:
+        """Best-beam caption for EACH of N images in one executable
+        (beam_search_batched: N x beam_size rows share the weight stream
+        instead of idling the MXU at batch 1 — see bench
+        beam_search_gpt2xl_int8.batched_captions_per_sec). Semantics per
+        image are identical to sample()."""
+        image_tensors = jnp.asarray(image_tensors)
+        if image_tensors.ndim == 3:
+            image_tensors = image_tensors[None]
+        prefix = bundle.project_prefix(bundle.encode_image(image_tensors))
+        stop_id = bundle.tokenizer.encode_text(self.stop_token)[0]
+        out = beam_search_batched(
+            bundle.lm_decode, bundle.lm_decode_params, bundle.lm_cfg, prefix,
+            beam_size=self.beam_size, max_new_tokens=self.max_decode_length,
+            temperature=self.temperature, stop_token_id=stop_id,
+        )
+        return best_beam_texts(out, bundle.tokenizer)

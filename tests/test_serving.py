@@ -561,3 +561,27 @@ def test_bench_tokenizer_phase_smoke():
 
     out = bench._bench_tokenizer(n_captions=500)
     assert out["tokens_per_sec"] > 0 and out["n_merges"] > 0
+
+
+def test_serving_declared_max_request_length_matches_solo():
+    """max_request_length shrinks the ring to prompt + (decl+1) + 1; token
+    streams must still match solo engine runs across refills and wraps,
+    and over-cap requests are rejected."""
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    caps = [3, 6, 5, 6, 2, 4, 1, 6, 3]
+    reqs = _requests(9, seed=21, caps=caps)
+    eng = ServingEngine(gpt2, CFG, prefix_len=P, settings=SETTINGS, slots=2,
+                        steps_per_sync=3, dtype=jnp.float32,
+                        max_request_length=6)
+    assert eng.ring_len == P + 7 + 1  # < P + 12 + 1
+    got = eng.serve(list(reqs), params)
+    for req in reqs:
+        want, want_stopped = _engine_single(gpt2, params, req, SETTINGS)
+        assert got[req.request_id]["tokens"] == want, req.request_id
+        assert got[req.request_id]["stopped"] == want_stopped
+
+    with pytest.raises(ValueError, match="max_request_length"):
+        eng.serve(_requests(2, seed=1, caps=[3, 9]), params)
+    # a request with NO cap exceeds any declaration (scan bound 12 > 6)
+    with pytest.raises(ValueError, match="max_request_length"):
+        eng.serve(_requests(1, seed=1), params)

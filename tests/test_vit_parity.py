@@ -113,3 +113,31 @@ def test_clip_text_parity():
         ref = hf(input_ids=tokens).text_embeds.numpy()
     ours = clip_text.apply(params, cfg, jnp.asarray(tokens.numpy()))
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_clip_vit_l14_real_geometry_parity():
+    """ViT-L/14 at its REAL geometry (24 layers, width 1024, T=257,
+    224px/patch14 — BASELINE config #3's encoder): parity vs the HF torch
+    oracle at batch 1. The small-config tests above pin the math; this
+    pins the L/14 shape path itself (pos-emb length, head dim 64,
+    projection 768) that the config #3 bench runs (VERDICT r3 weak #6)."""
+    torch.manual_seed(7)
+    cfg = ViTConfig.clip_variant("ViT-L/14")
+    hf = CLIPVisionModelWithProjection(
+        CLIPVisionConfig(
+            image_size=224, patch_size=14, hidden_size=1024,
+            num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096, projection_dim=768,
+            attention_dropout=0.0, attn_implementation="eager",
+        )
+    ).eval()
+    params = clip_vit_from_hf_state_dict(hf.state_dict(), cfg)
+    torch.manual_seed(8)
+    pixels = torch.randn(1, 3, 224, 224)
+    with torch.no_grad():
+        ref = hf(pixel_values=pixels).image_embeds.numpy()
+    ours = vit.apply(params, cfg, jnp.asarray(pixels.numpy()),
+                     output="pooled")
+    assert cfg.seq_len == 257
+    # 24 f32 layers accumulate more rounding than the 2-layer configs
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4, rtol=1e-3)
