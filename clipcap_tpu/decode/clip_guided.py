@@ -8,18 +8,21 @@ image embedding, commit the whole lookahead (or one token with
 step_by_step), repeat until a special token or max_decode_length.
 
 The reference expands the tree with one LM forward per node
-(branching^depth sequential calls); here each tree *level* is ONE jitted
-fixed-shape call: embeddings live in a [rows, maxT, D] padded buffer, the
-level forward + repetition penalty + top-k + child-embedding scatter all
-happen on-device, and the host fetches only the [rows, k] token ids it
-needs for bookkeeping (special-token stops, final text decode). Shapes
-are static per tree level (rows = branching^d, padded maxT), so the
-whole decode compiles look_ahead graphs once and then costs one device
-call + one small fetch per level — running this loop eagerly pays a
-~30 ms relay round-trip per op and is unusable on the TPU tunnel.
-Early-stopped leaves stay in the batch (their children are ignored on
-the host) to keep the level shapes static; candidate texts still encode
-in a single CLIP text batch.
+(branching^depth sequential calls); here the WHOLE lookahead tree (all
+`depth` levels) is ONE jitted fixed-shape call: embeddings live in a
+[rows, maxT, D] padded buffer, each unrolled level runs the forward +
+repetition penalty (history maintained on device) + top-k +
+child-embedding scatter, and the host fetches the per-level [k^d, k]
+token-id stacks in ONE transfer for bookkeeping (special-token stops,
+final text decode). Shapes are static (rows = branching^d per level,
+padded maxT), so the decode compiles one graph per depth and then costs
+one device dispatch + one fetch per COMMITTED CHUNK — the TPU relay
+charges ~30 ms per synced call, so per-level (let alone per-node) sync
+is unusable on the tunnel. Early-stopped leaves stay in the batch
+(their descendants are ignored on the host — junk columns they write
+sit beyond the candidate's n_valid, are never unmasked, and are
+overwritten column-exactly by later levels / the next chunk); candidate
+texts still encode in a single CLIP text batch.
 """
 
 from __future__ import annotations
@@ -66,45 +69,71 @@ def generate_clip_guided(
     max_t = p_len + max_decode_length
     dtype = base.dtype
 
-    # one compiled level step per rows-count (k^0 .. k^(look_ahead-1));
-    # embeds are padded to max_t so T never retraces
-    def make_level_fn():
+    # the whole depth-level tree in ONE compiled call: per-level forward,
+    # device-resident repetition-penalty history, top-k, child scatter.
+    # Levels unroll (rows = k^d is static per level); only the per-level
+    # topk id stacks and the FINAL level's embedding buffer come back —
+    # an early-stopped candidate's row maps to its first descendant in
+    # that buffer (identical columns up to the candidate's length)
+    def make_expand_fn(depth: int):
         @jax.jit
-        def level(params, embeds_pad, n_valid, hist, hist_valid):
-            """embeds_pad [R, maxT, D]; n_valid (traced scalar): columns
-            filled so far. Returns (topk ids [R, k], children [R*k, maxT, D])."""
-            rows = embeds_pad.shape[0]
-            mask = jnp.arange(max_t)[None, :] < n_valid
-            logits = lm.apply(
-                params, lm_cfg, embeds_pad, attention_mask=mask
-            ).astype(jnp.float32)
-            last = logits[jnp.arange(rows), n_valid - 1]  # [R, V]
-            if repetition_penalty_value != 1.0:
-                last = repetition_penalty(
-                    last, hist, repetition_penalty_value, tokens_valid=hist_valid
+        def expand_all(params, embeds_pad, n_valid, hist, hist_valid):
+            """embeds_pad [1, maxT, D]; n_valid (traced scalar): columns
+            filled so far; hist/hist_valid [1, max_decode_length]: committed
+            token history for the repetition penalty. Returns
+            (tuple of topk ids [k^d, k] per level, final children
+            [k^depth, maxT, D])."""
+            outs = []
+            for d in range(depth):
+                rows = embeds_pad.shape[0]
+                nv = n_valid + d
+                mask = jnp.arange(max_t)[None, :] < nv
+                logits = lm.apply(
+                    params, lm_cfg, embeds_pad, attention_mask=mask
+                ).astype(jnp.float32)
+                last = logits[jnp.arange(rows), nv - 1]  # [R, V]
+                if repetition_penalty_value != 1.0:
+                    last = repetition_penalty(
+                        last, hist, repetition_penalty_value,
+                        tokens_valid=hist_valid,
+                    )
+                _, topk = jax.lax.top_k(last, k)  # [R, k]
+                outs.append(topk)
+                emb_new = lm.embed_tokens(params, topk).astype(dtype)
+                children = jnp.repeat(embeds_pad, k, axis=0)  # [R*k, maxT, D]
+                embeds_pad = jax.lax.dynamic_update_slice(
+                    children, emb_new.reshape(rows * k, 1, d_model),
+                    (0, nv.astype(jnp.int32), 0),
                 )
-            _, topk = jax.lax.top_k(last, k)  # [R, k]
-            emb_new = lm.embed_tokens(params, topk).astype(dtype)  # [R, k, D]
-            children = jnp.repeat(embeds_pad, k, axis=0)  # [R*k, maxT, D]
-            children = jax.lax.dynamic_update_slice(
-                children, emb_new.reshape(rows * k, 1, d_model),
-                (0, n_valid.astype(jnp.int32), 0),
-            )
-            return topk, children
+                if d + 1 < depth:
+                    # per-row history gains the chosen token (dead rows
+                    # accumulate junk — their topk are ignored on the host)
+                    col = (nv - p_len).astype(jnp.int32)
+                    hist = jax.lax.dynamic_update_slice(
+                        jnp.repeat(hist, k, axis=0),
+                        topk.reshape(rows * k, 1), (0, col))
+                    hist_valid = jax.lax.dynamic_update_slice(
+                        jnp.repeat(hist_valid, k, axis=0),
+                        jnp.ones((rows * k, 1), bool), (0, col))
+            return tuple(outs), embeds_pad
 
-        return level
+        return expand_all
 
-    # the compiled closure bakes in branching_factor / repetition penalty /
-    # lm+cfg, so every one of those keys the cache; living on the bundle
-    # object ties the cache lifetime to the bundle (no id() reuse after GC)
+    # the compiled closure bakes in branching_factor / depth / repetition
+    # penalty / lm+cfg, so every one of those keys the cache; living on the
+    # bundle object ties the cache lifetime to the bundle (no id() reuse
+    # after GC)
     cache_store = bundle.__dict__.setdefault("_clip_guided_level_cache", {})
-    cache_key = (max_t, k, repetition_penalty_value, id(lm))
-    level_fn = cache_store.get(cache_key)
-    if level_fn is None:
-        level_fn = make_level_fn()
-        if len(cache_store) > 16:
-            cache_store.clear()
-        cache_store[cache_key] = level_fn
+
+    def expand_fn_for(depth: int):
+        cache_key = (max_t, k, depth, repetition_penalty_value, id(lm))
+        fn = cache_store.get(cache_key)
+        if fn is None:
+            fn = make_expand_fn(depth)
+            if len(cache_store) > 16:
+                cache_store.clear()
+            cache_store[cache_key] = fn
+        return fn
 
     def pad_rows(arr_np):  # [R, T, D] -> [R, maxT, D]
         out = np.zeros((arr_np.shape[0], max_t, d_model), dtype)
@@ -115,30 +144,33 @@ def generate_clip_guided(
     committed_pad = jnp.asarray(pad_rows(base))  # [1, maxT, D]
 
     def expand(leaf_tokens, leaf_pad, depth):
-        """Greedy top-k tree expansion, one jitted call per level.
+        """Greedy top-k tree expansion: ONE device dispatch + ONE fetch.
 
-        Each candidate records (tokens, ITS OWN level's children array,
-        row, stopped): early-stopped leaves come from earlier levels whose
-        row indices do not address the final level's array."""
+        Each candidate records (tokens, the FINAL level's children array,
+        mapped row, stopped): an early-stopped leaf at level d maps to its
+        first descendant row (row * k^(depth-1-d)) in that array, whose
+        buffer columns are identical up to the candidate's own length (the
+        descendants' extra writes sit beyond n_valid, masked and later
+        overwritten column-exactly)."""
+        n_valid = p_len + len(leaf_tokens)
+        hist = np.zeros((1, max_decode_length), np.int32)
+        valid = np.zeros_like(hist, bool)
+        if leaf_tokens:
+            hist[0, : len(leaf_tokens)] = leaf_tokens
+            valid[0, : len(leaf_tokens)] = True
+        topk_levels, final_children = expand_fn_for(depth)(
+            params, leaf_pad, jnp.asarray(n_valid, jnp.int32),
+            jnp.asarray(hist), jnp.asarray(valid)
+        )
+        topk_levels = [np.asarray(x) for x in
+                       jax.device_get(topk_levels)]  # the ONE fetch
+
         candidates = []  # (token list, children array, row, stopped)
         tokens_list = [leaf_tokens]
         live = [True]
-        embeds_pad = leaf_pad
         for d in range(depth):
-            n_valid = p_len + len(leaf_tokens) + d
-            # hist padded to the static maximum so the level never retraces
-            hist = np.zeros((len(tokens_list), max_decode_length), np.int32)
-            valid = np.zeros_like(hist, bool)
-            for i, t in enumerate(tokens_list):
-                if t:
-                    hist[i, : len(t)] = t
-                    valid[i, : len(t)] = True
-            topk, children = level_fn(
-                params, embeds_pad, jnp.asarray(n_valid, jnp.int32),
-                jnp.asarray(hist), jnp.asarray(valid)
-            )
-            topk = np.asarray(jax.device_get(topk))  # the ONE fetch per level
-
+            topk = topk_levels[d]
+            desc = k ** (depth - 1 - d)  # level-d row -> final-level row
             new_tokens, new_live, keep_rows = [], [], []
             for i, toks in enumerate(tokens_list):
                 for j in range(k):
@@ -152,14 +184,15 @@ def generate_clip_guided(
                     nt = int(topk[i, j])
                     seq = toks + [nt]
                     if nt in special or d == depth - 1:
-                        candidates.append((seq, children, row, nt in special))
+                        candidates.append(
+                            (seq, final_children, row * desc, nt in special))
                         new_tokens.append(seq)
                         new_live.append(False)
                     else:
                         new_tokens.append(seq)
                         new_live.append(True)
                         keep_rows.append(row)
-            tokens_list, live, embeds_pad = new_tokens, new_live, children
+            tokens_list, live = new_tokens, new_live
             if not keep_rows:
                 break
         return candidates

@@ -179,6 +179,69 @@ def apply(
     return jnp.dot(x, params["lm_head"]["w"]) + params["lm_head"]["b"]
 
 
+def _dequantize_tree(tree):
+    """quantize_params leaves -> bf16 weights (transient, per scan step).
+
+    Non-quantized floating leaves (layernorms, biases) are cast to bf16
+    too — the W8A16 compute policy.
+    """
+    if isinstance(tree, dict) and "q" in tree and "s" in tree:
+        return tree["q"].astype(jnp.bfloat16) * tree["s"].astype(jnp.bfloat16)
+    if isinstance(tree, dict):
+        return {k: _dequantize_tree(v) for k, v in tree.items()}
+    if hasattr(tree, "dtype") and jnp.issubdtype(tree.dtype, jnp.floating):
+        return tree.astype(jnp.bfloat16)
+    return tree
+
+
+def apply_q8(
+    params: dict,
+    cfg: GPTJConfig,
+    inputs_embeds: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+    logits_slice=None,
+) -> jnp.ndarray:
+    """Full-sequence W8A16 forward over quantize_params output.
+
+    The TRAINING forward for a frozen int8 GPT-J: each scanned layer
+    dequantizes its int8 weights to bf16 transiently (~0.43 GB live at a
+    time) and runs the standard _block math. Exists because BASELINE
+    config #4's prefix tuning (reference train.py:236-245 with gpt-j)
+    cannot hold the 12.1 GB bf16 LM plus trainable-mapper optimizer state
+    on one 16 GB chip — int8 halves the frozen LM to 6.05 GB. Prefix-only
+    training backprops through activations only (the LM is frozen), so
+    with remat the dequant simply reruns inside each layer's rematerialized
+    forward.
+    """
+    b, t, d = inputs_embeds.shape
+    positions = jnp.arange(t)
+    qi = jnp.arange(t)[:, None]
+    ki = jnp.arange(t)[None, :]
+    bias = jnp.where(ki <= qi, 0.0, NEG_INF)[None, None]
+    if attention_mask is not None:
+        bias = bias + jnp.where(
+            attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
+        )
+
+    def body(x, layer):
+        return _block(x, _dequantize_tree(layer), bias=bias,
+                      positions=positions, cfg=cfg)
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    def scan_fn(carry, layer):
+        return body(carry, layer), None
+
+    x, _ = jax.lax.scan(scan_fn, inputs_embeds.astype(jnp.bfloat16),
+                        params["blocks"])
+    if logits_slice is not None:
+        x = x[:, logits_slice[0] : logits_slice[1]]
+    x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], eps=cfg.layer_norm_epsilon)
+    return jnp.dot(x, _dequantize_tree(params["lm_head"]["w"])) + params["lm_head"]["b"]
+
+
 def init_cache(cfg: GPTJConfig, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
     l, h, dh = cfg.n_layer, cfg.n_head, cfg.n_embd // cfg.n_head
     shape = (l, batch, max_len, h, dh)

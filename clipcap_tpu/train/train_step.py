@@ -140,24 +140,56 @@ def make_train_step(
         )
         return loss, metrics
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
     def compute_grads(params, batch):
+        # differentiate ONLY the trainable partition: frozen leaves enter
+        # the loss via closure, so the backward never materializes their
+        # (zero) weight grads — and non-float frozen leaves (an int8
+        # frozen LM under the W8A16 training forward, models/gptj.apply_q8)
+        # are legal, which value_and_grad over the full tree rejects
+        nonlocal trainable_mask
+        if trainable_mask is None:
+            trainable_mask = captioner.trainable_filter(params, cap_cfg)
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        mleaves = jax.tree_util.tree_leaves(trainable_mask)
+        frozen = [None if m else l for l, m in zip(leaves, mleaves)]
+        diff0 = [l for l, m in zip(leaves, mleaves) if m]
+
+        def rebuild(diff):
+            it = iter(diff)
+            return jax.tree_util.tree_unflatten(
+                treedef,
+                [next(it) if m else f for m, f in zip(mleaves, frozen)],
+            )
+
+        grad_fn = jax.value_and_grad(
+            lambda diff, mb: loss_fn(rebuild(diff), mb), has_aux=True)
+
         if train_cfg.accumulate_grad_batches > 1:
             def micro(acc, mb):
-                (loss, aux), grads = grad_fn(params, mb)
+                (loss, aux), grads = grad_fn(diff0, mb)
                 acc_grads, acc_loss = acc
                 acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
                 return (acc_grads, acc_loss + loss), None
 
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-            (grads, loss_sum), _ = jax.lax.scan(
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, diff0)
+            (g, loss_sum), _ = jax.lax.scan(
                 micro, (zeros, jnp.zeros(())), batch
             )
             a = train_cfg.accumulate_grad_batches
-            grads = jax.tree_util.tree_map(lambda g: g / a, grads)
-            return loss_sum / a, grads
-        (loss, aux), grads = grad_fn(params, batch)
+            g = jax.tree_util.tree_map(lambda x: x / a, g)
+            loss = loss_sum / a
+        else:
+            (loss, aux), g = grad_fn(diff0, batch)
+        # reinflate to the full param-tree structure: frozen leaves get
+        # zero grads — exactly what the stop_gradient-in-loss recipe
+        # produced, so AutoClip's percentile history and the masked
+        # optimizer see identical trees (reference model.py:151-161)
+        it = iter(g)
+        grads = jax.tree_util.tree_unflatten(
+            treedef,
+            [next(it) if m else jnp.zeros_like(f)
+             for m, f in zip(mleaves, frozen)],
+        )
         return loss, grads
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:

@@ -123,3 +123,80 @@ def test_bundle_int8_decode_switches_decode_surface_only():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bundle.enable_tensor_parallel(2)
+
+
+def test_apply_q8_full_sequence_matches_bf16():
+    """W8A16 full-sequence TRAINING forward (gptj.apply_q8): dequant-in-scan
+    over quantize_params output tracks the bf16 apply within quantization
+    noise, honours the mask and the logits_slice, and runs under remat.
+    Exists for BASELINE config #4's prefix tuning, whose frozen 6B LM only
+    fits a 16 GB chip in int8 (bench._bench_gptj_prefix_train)."""
+    p = _params()
+    q = gptj.quantize_params(p)
+    p_bf16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), p)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, CFG.n_embd)) * 0.2
+    mask = jnp.ones((2, 10), bool).at[1, 7:].set(False)
+
+    ref = gptj.apply(p_bf16, CFG, x.astype(jnp.bfloat16), attention_mask=mask)
+    out = gptj.apply_q8(q, CFG, x, attention_mask=mask, remat=True)
+    assert out.shape == ref.shape
+    scale = float(jnp.max(jnp.abs(ref[:, :7])))
+    err = float(jnp.max(jnp.abs(out[:, :7].astype(jnp.float32)
+                                - ref[:, :7].astype(jnp.float32))))
+    assert err < 0.05 * max(scale, 1.0)
+
+    sliced = gptj.apply_q8(q, CFG, x, attention_mask=mask,
+                           logits_slice=(3, 9))
+    np.testing.assert_allclose(np.asarray(sliced, np.float32),
+                               np.asarray(out[:, 3:9], np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_prefix_only_train_step_over_int8_frozen_lm():
+    """Prefix-only training with the LM frozen IN INT8 (config #4's
+    single-chip recipe): the partitioned compute_grads differentiates the
+    mapper only (int8 leaves never reach value_and_grad), the mapper
+    updates, and the quantized LM (incl. scales) is bit-identical after
+    two steps."""
+    from clipcap_tpu.core.config import (
+        CaptionerConfig, MapperConfig, TrainConfig,
+    )
+    from clipcap_tpu.models import mapper as mapper_mod
+    from clipcap_tpu.train import create_train_state, make_train_step
+
+    q = gptj.quantize_params(_params())
+    map_cfg = MapperConfig(dim_clip=16, dim_embedding=CFG.n_embd,
+                           prefix_length=4, clip_length=3, num_layers=1,
+                           num_heads=2)
+    cap_cfg = CaptionerConfig(lm_type="gpt-j", mapper=map_cfg,
+                              prefix_only=True)
+    tc = TrainConfig(optimizer_lr=1e-3, scheduler_warmup_steps=1,
+                     total_steps=10, gradient_clip_val=-1.0,
+                     bf16_compute=True, remat=True)
+    params = {"mapper": mapper_mod.init(jax.random.PRNGKey(2), map_cfg),
+              "lm": q}
+    state, tx = create_train_state(jax.random.PRNGKey(0), cap_cfg, CFG, tc,
+                                   params=params)
+
+    def lm_apply(pl, e, attention_mask=None, logits_slice=None):
+        return gptj.apply_q8(pl, CFG, e, attention_mask=attention_mask,
+                             remat=True, logits_slice=logits_slice)
+
+    step = make_train_step(cap_cfg, CFG, tc, tx, donate=False,
+                           lm_apply=lm_apply)
+    rng = np.random.default_rng(0)
+    toks = rng.integers(1, CFG.vocab_size, size=(2, 6)).astype(np.int64)
+    toks[:, -2:] = -1
+    batch = {"tokens": jnp.asarray(toks),
+             "prefix": jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))}
+    s1, m1 = step(state, batch)
+    s2, m2 = step(s1, batch)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    moved = sum(
+        float(jnp.sum(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params["mapper"]),
+                        jax.tree_util.tree_leaves(s2.params["mapper"])))
+    assert moved > 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(state.params["lm"]),
+                    jax.tree_util.tree_leaves(s2.params["lm"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
