@@ -37,6 +37,35 @@ def _map_beam_axis(cache, fn):
     return cache._replace(**upd)
 
 
+def _reorder_cache_tail(cache, global_source, p_len: int):
+    """Beam-reorder the cache batch axis, moving ONLY the generated tail
+    (time positions [p_len:)): prefill rows are identical across an image's
+    beams (expanded from one prefilled row by _expand_beams) and the gather
+    is block-diagonal, so gathering the prefix positions is bitwise the
+    identity. Skipping them cuts the per-step gather to NT/maxT of the
+    cache bytes — the whole-cache take at 320 GPT2-XL int8 rows demanded
+    17 GB of gather temps on a 16 GB chip (measured r4, CLAUDE.md), forcing
+    XLA into a remat-compressed ~90 ms/step schedule.
+
+    The gather runs on a [L, B, tail_elems] flat view of the tail slice:
+    s8 slabs whose minor dim is 64 tile to (32,128) with 2x padding when
+    XLA materializes gather copies; the flat view's minor dim is a multiple
+    of 128, so the copies stay unpadded.
+    """
+    t_axis = 3 if hasattr(cache, "ks") else 2  # int8: [L,B,H,T,*]; bf16: [L,B,T,H,*]
+
+    def take(x):
+        tail = jax.lax.slice_in_dim(x, p_len, x.shape[t_axis], axis=t_axis)
+        shp = tail.shape
+        flat = tail.reshape(shp[0], shp[1], -1)
+        flat = jnp.take(flat, global_source, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            x, flat.reshape(shp), p_len, axis=t_axis
+        )
+
+    return _map_beam_axis(cache, take)
+
+
 def _expand_beams(cache, beam_size: int):
     """Replicate a batch-1 prefilled cache to beam_size rows: self-attn
     slabs on their [L, B, ...] batch axis, cross/encoder fields on their
@@ -144,9 +173,23 @@ def beam_search_batched(
         else jnp.zeros((n_img, beam_size), bool)
     )
 
-    # replicate each image's cache row across its beam block (jnp.repeat on
-    # the batch axis keeps blocks contiguous: row i*beam+b is image i)
-    cache = _expand_beams(cache, beam_size)
+    # Shared-prefix beam cache (optional LM capability, e.g. gpt2 int8):
+    # the prefill K/V stays per-image and each beam row carries only its
+    # generated tail — see gpt2.Int8BeamCache. Bitwise-equal tokens to the
+    # replicated-cache fallback by construction. Multi-chip runs
+    # (cache_constraint) keep the fallback: the constraint's shardings are
+    # written for the full-cache pytree.
+    shared_prefix = (
+        hasattr(lm, "beam_prefix_cache") and cache_constraint is None
+    )
+    if shared_prefix:
+        cache = lm.beam_prefix_cache(lm_cfg, cache, beam_size, p_len)
+        decode_fn = lm.decode_step_beam
+    else:
+        # replicate each image's cache row across its beam block (jnp.repeat
+        # on the batch axis keeps blocks contiguous: row i*beam+b is image i)
+        cache = _expand_beams(cache, beam_size)
+        decode_fn = lm.decode_step
 
     def step_input(tok):  # tok [N*beam]
         if token_mode:
@@ -154,7 +197,7 @@ def beam_search_batched(
         return lm.embed_tokens(params, tok)[:, None, :].astype(
             prompt_embeds.dtype)
 
-    logits, cache = lm.decode_step(
+    logits, cache = decode_fn(
         params, lm_cfg, step_input(first_tokens.reshape(-1)), cache
     )
     vocab = logits.shape[-1]
@@ -188,13 +231,14 @@ def beam_search_batched(
         scores = top_avg * seq_lengths
 
         global_source = (img_base + source).reshape(-1)  # block-diagonal
-        cache = _map_beam_axis(
-            cache, lambda x: jnp.take(x, global_source, axis=1)
-        )
+        if shared_prefix:
+            cache = lm.reorder_beam_tail(cache, global_source)
+        else:
+            cache = _reorder_cache_tail(cache, global_source, p_len)
         if stop_token_id is not None:
             has_stopped = has_stopped | (next_tok == stop_token_id)
 
-        logits, cache = lm.decode_step(
+        logits, cache = decode_fn(
             params, lm_cfg, step_input(next_tok.reshape(-1)), cache
         )
         return (cache, logits, tokens, scores, seq_lengths, has_stopped), None

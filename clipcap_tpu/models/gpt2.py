@@ -597,6 +597,206 @@ def scatter_refill_q8(
     )
 
 
+class Int8BeamCache(NamedTuple):
+    """Shared-prefix batched-beam cache: prefill K/V stored ONCE PER IMAGE.
+
+    All `beam` rows of an image share the prefill positions bit-for-bit
+    (decode/beam.py expands one prefilled row per image and the reorder
+    gather is block-diagonal), so the batched beam path keeps them in
+    per-image slabs ([L, N, H, P, Dh]) that are never replicated,
+    reordered, or re-streamed per beam row; each beam row carries only its
+    generated tail ([L, N*beam, H, NT, Dh]). vs the beam-replicated full
+    cache this divides the prefix's HBM (storage AND per-step attention
+    stream) by beam_size and shrinks the per-step beam-reorder gather to
+    the tail slabs — at GPT2-XL N=64 x beam=5 P=40 the replicated cache
+    alone is 3.3 GB int8 and its whole-cache reorder demanded 17 GB of
+    gather temps (measured r4, CLAUDE.md).
+    """
+
+    pk: jnp.ndarray  # [L, N, H, P, Dh] int8 prefix keys (per image)
+    pv: jnp.ndarray  # [L, N, H, P, Dh] int8
+    pks: jnp.ndarray  # [L, N, H, P] f32 prefix K scales
+    pvs: jnp.ndarray  # [L, N, H, P] f32 prefix V scales
+    k: jnp.ndarray  # [L, N*beam, H, NT, Dh] int8 tail keys (per beam row)
+    v: jnp.ndarray  # [L, N*beam, H, NT, Dh] int8
+    ks: jnp.ndarray  # [L, N*beam, H, NT] f32
+    vs: jnp.ndarray  # [L, N*beam, H, NT] f32
+    index: jnp.ndarray  # scalar int32: GLOBAL position (prefix included)
+
+
+def beam_prefix_cache_q8(
+    cfg: GPT2Config, cache: Int8KVCache, beam: int, p_len: int
+) -> Int8BeamCache:
+    """Split a batch-N prefilled Int8KVCache (index == p_len) into the
+    shared-prefix beam cache: prefix slabs are the prefill's own bytes
+    (static slice — p_len is the static prompt length), tails start empty
+    at N*beam rows."""
+    l, n, h, maxt, dh = cache.k.shape
+    nt = maxt - p_len
+    return Int8BeamCache(
+        pk=cache.k[:, :, :, :p_len],
+        pv=cache.v[:, :, :, :p_len],
+        pks=cache.ks[:, :, :, :p_len],
+        pvs=cache.vs[:, :, :, :p_len],
+        k=jnp.zeros((l, n * beam, h, nt, dh), jnp.int8),
+        v=jnp.zeros((l, n * beam, h, nt, dh), jnp.int8),
+        ks=jnp.zeros((l, n * beam, h, nt), jnp.float32),
+        vs=jnp.zeros((l, n * beam, h, nt), jnp.float32),
+        index=cache.index,
+    )
+
+
+def decode_step_beam_q8(
+    params: dict,
+    cfg: GPT2Config,
+    token_embed: jnp.ndarray,  # [N*beam, 1, D]
+    bc: Int8BeamCache,
+) -> Tuple[jnp.ndarray, Int8BeamCache]:
+    """One beam decode step over the shared-prefix cache.
+
+    BITWISE-identical logits to decode_step_q8 on the equivalent
+    beam-replicated full cache, by construction: the prefix K/V bytes and
+    scales are the prefill's own, scores over [prefix | tail] concatenate
+    to the same [*, maxT] vector the full path softmaxes, and the
+    softmax·V int8 dot uses ONE quantization scale shared across both
+    segments — int8 dots accumulate exactly in int32, and the partial sums
+    (<= 127*127*maxT << 2^24) convert to f32 exactly, so splitting the dot
+    at the segment boundary is associativity-free. The only structural
+    change is WHERE the prefix operand lives: per image, contracted with a
+    grouped dot_general ([N, H, beam, Dh] x [N, H, P, Dh] over batch dims
+    (N, H)) instead of per row.
+    """
+    b, t, d = token_embed.shape
+    h_heads, dh = cfg.n_head, d // cfg.n_head
+    p_len = bc.pk.shape[3]
+    n_img = bc.pk.shape[1]
+    beam = b // n_img
+    nt = bc.k.shape[3]
+    idx = bc.index
+    wslot = idx - p_len
+    eps = cfg.layer_norm_epsilon
+
+    x = token_embed.astype(jnp.bfloat16) + jnp.take(
+        params["wpe"], idx + jnp.arange(t), axis=0
+    )[None]
+    tail_bias = jnp.where(jnp.arange(nt)[None, :] <= wslot, 0.0, NEG_INF)
+
+    def group(a):  # [N*beam, H, X] -> [N, H, beam, X]
+        return a.reshape(n_img, beam, h_heads, -1).transpose(0, 2, 1, 3)
+
+    def ungroup(a):  # [N, H, beam, X] -> [N*beam, H, X]
+        return a.transpose(0, 2, 1, 3).reshape(b, h_heads, -1)
+
+    def scan_fn(carry, xs):
+        x, kc, vc, ksc, vsc = carry
+        layer, pk, pv, pks, pvs, l = xs
+        h = layer_norm(x, layer["ln1"]["g"], layer["ln1"]["b"], eps=eps)
+        qkv = int8_linear(h, layer["attn"]["c_attn"]["w"], layer["attn"]["c_attn"]["b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h_heads, dh)
+        k = k.reshape(b, t, h_heads, dh)
+        v = v.reshape(b, t, h_heads, dh)
+
+        k8, sk = quantize_rows(k)
+        v8, sv = quantize_rows(v)
+        kc = jax.lax.dynamic_update_slice(
+            kc, k8.transpose(0, 2, 1, 3)[None], (l, 0, 0, wslot, 0)
+        )
+        vc = jax.lax.dynamic_update_slice(
+            vc, v8.transpose(0, 2, 1, 3)[None], (l, 0, 0, wslot, 0)
+        )
+        ksc = jax.lax.dynamic_update_slice(
+            ksc, sk[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, wslot)
+        )
+        vsc = jax.lax.dynamic_update_slice(
+            vsc, sv[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, wslot)
+        )
+
+        keys = jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False)
+        vals = jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False)
+        skt = jax.lax.dynamic_index_in_dim(ksc, l, 0, keepdims=False)
+        svt = jax.lax.dynamic_index_in_dim(vsc, l, 0, keepdims=False)
+
+        q8, sq = quantize_rows(q[:, 0])  # [N*beam, H, Dh], sq [.., 1]
+        s_pre = jax.lax.dot_general(
+            group(q8), pk, (((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # [N, H, beam, P]
+        s_pre = s_pre * group(sq) * pks[:, :, None, :] * (dh**-0.5)
+        s_tail = jax.lax.dot_general(
+            q8, keys, (((2,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # [N*beam, H, NT]
+        s_tail = s_tail * sq * skt * (dh**-0.5) + tail_bias[:, None, :]
+        p = jax.nn.softmax(
+            jnp.concatenate([ungroup(s_pre), s_tail], axis=-1), axis=-1
+        )  # [N*beam, H, P+NT]
+
+        # fold V scales in, then quantize BOTH segments with one shared
+        # per-(row, head) scale — this is what keeps the split bitwise
+        # equal to quantize_rows over the full concatenated row
+        pre = p[:, :, :p_len] * ungroup(
+            jnp.broadcast_to(
+                pvs[:, :, None, :], (n_img, h_heads, beam, p_len)
+            )
+        )
+        tail = p[:, :, p_len:] * svt
+        m = jnp.maximum(
+            jnp.max(jnp.abs(pre), axis=-1, keepdims=True),
+            jnp.max(jnp.abs(tail), axis=-1, keepdims=True),
+        )
+        sp = jnp.maximum(m / 127.0, 1e-12)
+        p8_pre = jnp.clip(jnp.round(pre / sp), -127, 127).astype(jnp.int8)
+        p8_tail = jnp.clip(jnp.round(tail / sp), -127, 127).astype(jnp.int8)
+        a_pre = jax.lax.dot_general(
+            group(p8_pre), pv, (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32,
+        )  # [N, H, beam, Dh] int32 (exact)
+        a_tail = jax.lax.dot_general(
+            p8_tail, vals, (((2,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32,
+        )  # [N*beam, H, Dh] int32 (exact)
+        attn = (
+            ungroup(a_pre).astype(jnp.float32) + a_tail.astype(jnp.float32)
+        ) * sp
+        attn = attn.reshape(b, 1, d).astype(x.dtype)
+
+        x = x + int8_linear(attn, layer["attn"]["c_proj"]["w"], layer["attn"]["c_proj"]["b"])
+        h = layer_norm(x, layer["ln2"]["g"], layer["ln2"]["b"], eps=eps)
+        h = int8_linear(h, layer["mlp"]["c_fc"]["w"], layer["mlp"]["c_fc"]["b"])
+        h = gelu_new(h)
+        h = int8_linear(h, layer["mlp"]["c_proj"]["w"], layer["mlp"]["c_proj"]["b"])
+        return (x + h, kc, vc, ksc, vsc), None
+
+    (x, kc, vc, ksc, vsc), _ = jax.lax.scan(
+        scan_fn,
+        (x, bc.k, bc.v, bc.ks, bc.vs),
+        (params["blocks"], bc.pk, bc.pv, bc.pks, bc.pvs,
+         jnp.arange(cfg.n_layer)),
+    )
+    x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], eps=cfg.layer_norm_epsilon)
+    logits = int8_linear(x, params["lm_head"], out_dtype=jnp.float32)
+    return logits[:, -1], bc._replace(k=kc, v=vc, ks=ksc, vs=vsc, index=idx + t)
+
+
+def reorder_beam_tail_q8(
+    bc: Int8BeamCache, global_source: jnp.ndarray
+) -> Int8BeamCache:
+    """Beam-reorder ONLY the tail slabs' row axis (prefix slabs are
+    per-image and beam-invariant). The gather runs on a [L, B, elems]
+    flat view so the copies XLA materializes tile without the 2x padding
+    a 64-wide s8 minor dim gets (see decode/beam._reorder_cache_tail)."""
+
+    def take(a):
+        shp = a.shape
+        flat = a.reshape(shp[0], shp[1], -1)
+        return jnp.take(flat, global_source, axis=1).reshape(shp)
+
+    return bc._replace(
+        k=take(bc.k), v=take(bc.v), ks=take(bc.ks), vs=take(bc.vs)
+    )
+
+
 class _Int8Module:
     """lm/registry-protocol adapter for the int8 decode path.
 
@@ -612,6 +812,10 @@ class _Int8Module:
     scatter_refill = staticmethod(scatter_refill_q8)
     embed_tokens = staticmethod(embed_tokens)
     embedding_size = staticmethod(embedding_size)
+    # shared-prefix batched beam (decode/beam.py uses these when present)
+    beam_prefix_cache = staticmethod(beam_prefix_cache_q8)
+    decode_step_beam = staticmethod(decode_step_beam_q8)
+    reorder_beam_tail = staticmethod(reorder_beam_tail_q8)
 
 
 gpt2_int8 = _Int8Module()

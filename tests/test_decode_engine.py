@@ -255,6 +255,40 @@ def test_beam_search_batched_int8(lm_params):
                                       np.asarray(solo[i]["tokens"]))
 
 
+def test_beam_shared_prefix_matches_fallback(lm_params):
+    """gpt2 int8's shared-prefix beam cache (prefix K/V stored once per
+    image, per-row tails, ONE softmax-quantization scale shared across the
+    two attention segments — gpt2.decode_step_beam_q8) must be bitwise
+    token/length/score-identical to the replicated-full-cache fallback
+    path it replaces (int8 dots accumulate exactly in int32, so splitting
+    the softmax·V dot at the prefix/tail boundary is associativity-free)."""
+    from clipcap_tpu.decode import beam_search_batched
+
+    params_q = gpt2.quantize_params(lm_params)
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(15), (3, 5, CFG.n_embd), jnp.bfloat16)
+
+    class _Fallback:
+        """gpt2_int8 minus the beam_prefix_cache capability: forces
+        beam_search_batched onto the _expand_beams + tail-gather path."""
+        takes_token_ids = False
+        init_cache = staticmethod(gpt2.gpt2_int8.init_cache)
+        prefill = staticmethod(gpt2.gpt2_int8.prefill)
+        decode_step = staticmethod(gpt2.gpt2_int8.decode_step)
+        embed_tokens = staticmethod(gpt2.gpt2_int8.embed_tokens)
+        embedding_size = staticmethod(gpt2.gpt2_int8.embedding_size)
+
+    kw = dict(beam_size=3, max_new_tokens=8, stop_token_id=11)
+    shared = beam_search_batched(gpt2.gpt2_int8, params_q, CFG, embeds, **kw)
+    fallback = beam_search_batched(_Fallback(), params_q, CFG, embeds, **kw)
+    np.testing.assert_array_equal(np.asarray(shared["tokens"]),
+                                  np.asarray(fallback["tokens"]))
+    np.testing.assert_array_equal(np.asarray(shared["seq_lengths"]),
+                                  np.asarray(fallback["seq_lengths"]))
+    np.testing.assert_allclose(np.asarray(shared["scores"]),
+                               np.asarray(fallback["scores"]), atol=1e-6)
+
+
 def test_topk_iter_matches_lax_topk():
     """_topk_iter must reproduce lax.top_k exactly, including the
     lowest-index-first tie order, on rows with duplicates and -infs."""
