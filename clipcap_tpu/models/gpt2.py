@@ -605,22 +605,32 @@ class Int8BeamCache(NamedTuple):
     gather is block-diagonal), so the batched beam path keeps them in
     per-image slabs ([L, N, H, P, Dh]) that are never replicated,
     reordered, or re-streamed per beam row; each beam row carries only its
-    generated tail ([L, N*beam, H, NT, Dh]). vs the beam-replicated full
-    cache this divides the prefix's HBM (storage AND per-step attention
-    stream) by beam_size and shrinks the per-step beam-reorder gather to
-    the tail slabs — at GPT2-XL N=64 x beam=5 P=40 the replicated cache
-    alone is 3.3 GB int8 and its whole-cache reorder demanded 17 GB of
-    gather temps (measured r4, CLAUDE.md).
+    generated tail. vs the beam-replicated full cache this divides the
+    prefix's HBM (storage AND per-step attention stream) by beam_size and
+    shrinks the per-step beam-reorder gather to the tail slabs — at
+    GPT2-XL N=64 x beam=5 P=40 the replicated cache alone is 3.3 GB int8
+    and its whole-cache reorder demanded 17 GB of gather temps (measured
+    r4, CLAUDE.md).
+
+    The tail slabs are stored FLAT and TIME-MAJOR ([L, R, NT*H*Dh], one
+    H*Dh block per timestep) rather than as 5D arrays: the per-step beam
+    reorder is then a plain row permutation of an array whose minor dim is
+    a large multiple of 128 — measured 344 GB/s r+w as a gather, 540 GB/s
+    as a one-hot int8 matmul, vs ~80 GB/s effective when the same bytes
+    are gathered through a [L,R,H,NT,64] view (XLA inserts 2x-padded
+    tiled relayout copies around the reshape; r4 probes, CLAUDE.md). The
+    attention dots consume a bitcast [R, NT, H, Dh] view directly — reads
+    fused into dots never pay the padding, only materialized copies do.
     """
 
     pk: jnp.ndarray  # [L, N, H, P, Dh] int8 prefix keys (per image)
     pv: jnp.ndarray  # [L, N, H, P, Dh] int8
     pks: jnp.ndarray  # [L, N, H, P] f32 prefix K scales
     pvs: jnp.ndarray  # [L, N, H, P] f32 prefix V scales
-    k: jnp.ndarray  # [L, N*beam, H, NT, Dh] int8 tail keys (per beam row)
-    v: jnp.ndarray  # [L, N*beam, H, NT, Dh] int8
-    ks: jnp.ndarray  # [L, N*beam, H, NT] f32
-    vs: jnp.ndarray  # [L, N*beam, H, NT] f32
+    k: jnp.ndarray  # [L, N*beam, NT*H*Dh] int8 tail keys (per beam row)
+    v: jnp.ndarray  # [L, N*beam, NT*H*Dh] int8
+    ks: jnp.ndarray  # [L, N*beam, NT*H] f32
+    vs: jnp.ndarray  # [L, N*beam, NT*H] f32
     index: jnp.ndarray  # scalar int32: GLOBAL position (prefix included)
 
 
@@ -638,10 +648,10 @@ def beam_prefix_cache_q8(
         pv=cache.v[:, :, :, :p_len],
         pks=cache.ks[:, :, :, :p_len],
         pvs=cache.vs[:, :, :, :p_len],
-        k=jnp.zeros((l, n * beam, h, nt, dh), jnp.int8),
-        v=jnp.zeros((l, n * beam, h, nt, dh), jnp.int8),
-        ks=jnp.zeros((l, n * beam, h, nt), jnp.float32),
-        vs=jnp.zeros((l, n * beam, h, nt), jnp.float32),
+        k=jnp.zeros((l, n * beam, nt * h * dh), jnp.int8),
+        v=jnp.zeros((l, n * beam, nt * h * dh), jnp.int8),
+        ks=jnp.zeros((l, n * beam, nt * h), jnp.float32),
+        vs=jnp.zeros((l, n * beam, nt * h), jnp.float32),
         index=cache.index,
     )
 
@@ -671,7 +681,7 @@ def decode_step_beam_q8(
     p_len = bc.pk.shape[3]
     n_img = bc.pk.shape[1]
     beam = b // n_img
-    nt = bc.k.shape[3]
+    nt = bc.k.shape[2] // (h_heads * dh)
     idx = bc.index
     wslot = idx - p_len
     eps = cfg.layer_norm_epsilon
@@ -699,23 +709,31 @@ def decode_step_beam_q8(
 
         k8, sk = quantize_rows(k)
         v8, sv = quantize_rows(v)
+        # time-major flat tail write: one [R, H*Dh] block at offset
+        # wslot*H*Dh (the h-major layout within a timestep is what k8's
+        # own [b, h, dh] layout already is — no transpose)
         kc = jax.lax.dynamic_update_slice(
-            kc, k8.transpose(0, 2, 1, 3)[None], (l, 0, 0, wslot, 0)
+            kc, k8.reshape(b, h_heads * dh)[None], (l, 0, wslot * h_heads * dh)
         )
         vc = jax.lax.dynamic_update_slice(
-            vc, v8.transpose(0, 2, 1, 3)[None], (l, 0, 0, wslot, 0)
+            vc, v8.reshape(b, h_heads * dh)[None], (l, 0, wslot * h_heads * dh)
         )
         ksc = jax.lax.dynamic_update_slice(
-            ksc, sk[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, wslot)
+            ksc, sk[:, 0, :, 0][None], (l, 0, wslot * h_heads)
         )
         vsc = jax.lax.dynamic_update_slice(
-            vsc, sv[..., 0].transpose(0, 2, 1)[None], (l, 0, 0, wslot)
+            vsc, sv[:, 0, :, 0][None], (l, 0, wslot * h_heads)
         )
 
-        keys = jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False)
-        vals = jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False)
-        skt = jax.lax.dynamic_index_in_dim(ksc, l, 0, keepdims=False)
-        svt = jax.lax.dynamic_index_in_dim(vsc, l, 0, keepdims=False)
+        # bitcast views for the attention dots (time-major: [R, NT, H, *])
+        keys = jax.lax.dynamic_index_in_dim(
+            kc, l, 0, keepdims=False).reshape(b, nt, h_heads, dh)
+        vals = jax.lax.dynamic_index_in_dim(
+            vc, l, 0, keepdims=False).reshape(b, nt, h_heads, dh)
+        skt = jax.lax.dynamic_index_in_dim(
+            ksc, l, 0, keepdims=False).reshape(b, nt, h_heads).transpose(0, 2, 1)
+        svt = jax.lax.dynamic_index_in_dim(
+            vsc, l, 0, keepdims=False).reshape(b, nt, h_heads).transpose(0, 2, 1)
 
         q8, sq = quantize_rows(q[:, 0])  # [N*beam, H, Dh], sq [.., 1]
         s_pre = jax.lax.dot_general(
@@ -724,7 +742,7 @@ def decode_step_beam_q8(
         ).astype(jnp.float32)  # [N, H, beam, P]
         s_pre = s_pre * group(sq) * pks[:, :, None, :] * (dh**-0.5)
         s_tail = jax.lax.dot_general(
-            q8, keys, (((2,), (3,)), ((0, 1), (0, 1))),
+            q8, keys, (((2,), (3,)), ((0, 1), (0, 2))),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)  # [N*beam, H, NT]
         s_tail = s_tail * sq * skt * (dh**-0.5) + tail_bias[:, None, :]
@@ -753,7 +771,7 @@ def decode_step_beam_q8(
             preferred_element_type=jnp.int32,
         )  # [N, H, beam, Dh] int32 (exact)
         a_tail = jax.lax.dot_general(
-            p8_tail, vals, (((2,), (2,)), ((0, 1), (0, 1))),
+            p8_tail, vals, (((2,), (1,)), ((0, 1), (0, 2))),
             preferred_element_type=jnp.int32,
         )  # [N*beam, H, Dh] int32 (exact)
         attn = (
@@ -783,17 +801,28 @@ def reorder_beam_tail_q8(
     bc: Int8BeamCache, global_source: jnp.ndarray
 ) -> Int8BeamCache:
     """Beam-reorder ONLY the tail slabs' row axis (prefix slabs are
-    per-image and beam-invariant). The gather runs on a [L, B, elems]
-    flat view so the copies XLA materializes tile without the 2x padding
-    a 64-wide s8 minor dim gets (see decode/beam._reorder_cache_tail)."""
+    per-image and beam-invariant), as a ONE-HOT MATMUL on the flat
+    time-major slabs: a permutation matmul is bitwise exact (each output
+    element is a sum with exactly one nonzero term; the int8 dot
+    accumulates in int32, the f32 dot's 1.0/0.0 products are exact) and
+    the MXU streams it at ~540 GB/s r+w vs ~344 GB/s for the row gather
+    and ~80 GB/s for a gather through the padded 5D view (r4 probes,
+    CLAUDE.md)."""
+    r = bc.k.shape[1]
+    oh8 = (global_source[:, None] == jnp.arange(r)[None, :]).astype(jnp.int8)
+    ohf = oh8.astype(jnp.float32)
 
-    def take(a):
-        shp = a.shape
-        flat = a.reshape(shp[0], shp[1], -1)
-        return jnp.take(flat, global_source, axis=1).reshape(shp)
+    def perm_q8(a):
+        return jnp.einsum(
+            "nr,lrf->lnf", oh8, a, preferred_element_type=jnp.int32
+        ).astype(jnp.int8)
+
+    def perm_f32(a):
+        return jnp.einsum("nr,lrf->lnf", ohf, a)
 
     return bc._replace(
-        k=take(bc.k), v=take(bc.v), ks=take(bc.ks), vs=take(bc.vs)
+        k=perm_q8(bc.k), v=perm_q8(bc.v),
+        ks=perm_f32(bc.ks), vs=perm_f32(bc.vs),
     )
 
 
