@@ -1187,8 +1187,35 @@ def _bench_clip_guided(branching: int = 3, look_ahead: int = 2,
         t0 = time.perf_counter()
         one()
         ts.append(time.perf_counter() - t0)
+
+    # batched across images (generate_clip_guided_batch): the per-chunk
+    # relay sync + XL weight stream — the whole batch-1 cost — amortize
+    # over N images sharing every tree dispatch and CLIP text batch
+    n_batch = 16
+    from clipcap_tpu.decode.clip_guided import generate_clip_guided_batch
+    prefix_n = jax.random.normal(
+        jax.random.PRNGKey(5), (n_batch, PREFIX_LEN, lm_cfg.n_embd),
+        jnp.bfloat16)
+    imgs_n = jax.random.normal(jax.random.PRNGKey(6),
+                               (n_batch, text_cfg.output_dim), jnp.float32)
+
+    def batched():
+        return generate_clip_guided_batch(
+            bundle, scoring, imgs_n, prefix_n,
+            max_decode_length=max_decode_length,
+            look_ahead=look_ahead, branching_factor=branching,
+        )
+
+    batched()  # compile the N-row level shapes
+    tb = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        batched()
+        tb.append(time.perf_counter() - t0)
     return {
         "ms_per_image": round(min(ts) * 1000, 1),
+        "ms_per_image_batched": round(min(tb) * 1000 / n_batch, 1),
+        "batch_images": n_batch,
         "branching": branching,
         "look_ahead": look_ahead,
         "max_decode_length": max_decode_length,

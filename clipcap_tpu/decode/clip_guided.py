@@ -23,6 +23,21 @@ is unusable on the tunnel. Early-stopped leaves stay in the batch
 sit beyond the candidate's n_valid, are never unmasked, and are
 overwritten column-exactly by later levels / the next chunk); candidate
 texts still encode in a single CLIP text batch.
+
+BATCHING ACROSS IMAGES (generate_clip_guided_batch): the per-chunk relay
+sync + the weight-stream cost of the tree forwards are the whole cost of
+this sampler (measured r4: 2.08 s/image at branching=3, look_ahead=2,
+len=40, XL bf16 — ~20 chunks x (~60 ms sync + ~40 ms device)). Both
+amortize over images: every LIVE image commits exactly `depth` tokens
+per chunk (an image whose chosen candidate early-stops FINISHES), so all
+live images share one scalar n_valid and the N trees stack into one
+[N*k^d, maxT, D] buffer — the device math is row-generic, the host
+bookkeeping runs per image over its block of rows, candidate texts of
+all images encode in one CLIP batch, and finished images keep riding as
+junk rows (static shapes; their outputs are ignored). The selected
+children never leave the device: the next chunk's committed buffer is a
+device gather of host-chosen rows ([N, maxT, D] would be tens of MB per
+chunk through the relay otherwise).
 """
 
 from __future__ import annotations
@@ -47,6 +62,37 @@ def generate_clip_guided(
     branching_factor: int = 3,
     step_by_step: bool = False,
 ) -> str:
+    return generate_clip_guided_batch(
+        bundle, clip_scoring,
+        jnp.asarray(clip_image_embedding).reshape(1, -1),
+        prefix_embeds,
+        max_decode_length=max_decode_length,
+        repetition_penalty_value=repetition_penalty_value,
+        look_ahead=look_ahead,
+        branching_factor=branching_factor,
+        step_by_step=step_by_step,
+    )[0]
+
+
+def generate_clip_guided_batch(
+    bundle,  # models.bundle.CaptionerBundle
+    clip_scoring,  # eval.clip_scoring.ClipScoring
+    clip_image_embeddings: jnp.ndarray,  # [N, D]
+    prefix_embeds: jnp.ndarray,  # [N, P, D] mapper output
+    max_decode_length: int = 75,
+    repetition_penalty_value: float = 1.2,
+    look_ahead: int = 5,
+    branching_factor: int = 3,
+    step_by_step: bool = False,
+) -> List[str]:
+    """N independent clip-guided decodes sharing every dispatch.
+
+    Per-image results match N single calls exactly on CPU f32 (pinned in
+    tests/test_clip_guided.py); on TPU bf16 the batched forward may
+    resolve top-k near-ties differently than the single-image shapes
+    (kernel tiling changes the reduction rounding — same caveat as
+    decode/speculative.py's chunked verification).
+    """
     assert max_decode_length <= 77, "maximum context length for CLIP models is 77"
     tokenizer = bundle.tokenizer
     special = set(tokenizer.all_special_ids)
@@ -55,12 +101,13 @@ def generate_clip_guided(
     # decode modules don't implement
     lm, params, lm_cfg = bundle.lm, bundle.params["lm"], bundle.lm_cfg
     k = branching_factor
+    n_img = prefix_embeds.shape[0]
 
-    img = jnp.asarray(clip_image_embedding).reshape(-1)
-    img = img / jnp.linalg.norm(img)
+    imgs = jnp.asarray(clip_image_embeddings).reshape(n_img, -1)
+    imgs = imgs / jnp.linalg.norm(imgs, axis=-1, keepdims=True)
 
     # prepend BOS (reference evaluate_model.py:253-257)
-    bos = jnp.full((1, 1), tokenizer.bos_token_id, jnp.int32)
+    bos = jnp.full((n_img, 1), tokenizer.bos_token_id, jnp.int32)
     base = jax.device_get(
         jnp.concatenate([prefix_embeds, bundle.embed_text(bos)], axis=1)
     )
@@ -71,18 +118,19 @@ def generate_clip_guided(
 
     # the whole depth-level tree in ONE compiled call: per-level forward,
     # device-resident repetition-penalty history, top-k, child scatter.
-    # Levels unroll (rows = k^d is static per level); only the per-level
-    # topk id stacks and the FINAL level's embedding buffer come back —
-    # an early-stopped candidate's row maps to its first descendant in
-    # that buffer (identical columns up to the candidate's length)
+    # Levels unroll (rows = N*k^d is static per level); only the per-level
+    # topk id stacks come back — the FINAL level's embedding buffer stays
+    # on device, and an early-stopped candidate's row maps to its first
+    # descendant row (identical columns up to the candidate's length)
     def make_expand_fn(depth: int):
         @jax.jit
         def expand_all(params, embeds_pad, n_valid, hist, hist_valid):
-            """embeds_pad [1, maxT, D]; n_valid (traced scalar): columns
-            filled so far; hist/hist_valid [1, max_decode_length]: committed
-            token history for the repetition penalty. Returns
-            (tuple of topk ids [k^d, k] per level, final children
-            [k^depth, maxT, D])."""
+            """embeds_pad [R, maxT, D]; n_valid (traced scalar): columns
+            filled so far (uniform across rows); hist/hist_valid
+            [R, max_decode_length]: committed token history for the
+            repetition penalty. Returns (tuple of topk ids [R*k^d, k] per
+            level, final children [R*k^depth, maxT, D], rows image-blocked
+            throughout)."""
             outs = []
             for d in range(depth):
                 rows = embeds_pad.shape[0]
@@ -120,9 +168,9 @@ def generate_clip_guided(
         return expand_all
 
     # the compiled closure bakes in branching_factor / depth / repetition
-    # penalty / lm+cfg, so every one of those keys the cache; living on the
-    # bundle object ties the cache lifetime to the bundle (no id() reuse
-    # after GC)
+    # penalty / lm+cfg, so every one of those keys the cache (jit handles
+    # the row-count = N retrace itself); living on the bundle object ties
+    # the cache lifetime to the bundle (no id() reuse after GC)
     cache_store = bundle.__dict__.setdefault("_clip_guided_level_cache", {})
 
     def expand_fn_for(depth: int):
@@ -135,74 +183,110 @@ def generate_clip_guided(
             cache_store[cache_key] = fn
         return fn
 
-    def pad_rows(arr_np):  # [R, T, D] -> [R, maxT, D]
+    # per-chunk device-side helpers (cached on the bundle like the levels):
+    # select each image's chosen child row WITHOUT fetching the children
+    # buffer, and (step_by_step) re-zero the uncommitted tail
+    helper_key = "_clip_guided_helper_cache"
+    helpers = bundle.__dict__.setdefault(helper_key, {})
+    if "gather" not in helpers:
+        helpers["gather"] = jax.jit(lambda c, idx: c[idx])
+        helpers["gather_trim"] = jax.jit(
+            lambda c, idx, keep: jnp.where(
+                jnp.arange(c.shape[1])[None, :, None] < keep, c[idx], 0
+            ).astype(c.dtype)
+        )
+    gather, gather_trim = helpers["gather"], helpers["gather_trim"]
+
+    def pad_rows(arr_np):  # [N, T, D] -> [N, maxT, D]
         out = np.zeros((arr_np.shape[0], max_t, d_model), dtype)
         out[:, : arr_np.shape[1]] = arr_np
         return out
 
-    committed_tokens: List[int] = []
-    committed_pad = jnp.asarray(pad_rows(base))  # [1, maxT, D]
+    committed: List[List[int]] = [[] for _ in range(n_img)]
+    done = [False] * n_img
+    committed_len = 0  # uniform across live images (see module docstring)
+    committed_pad = jnp.asarray(pad_rows(base))  # [N, maxT, D]
 
-    def expand(leaf_tokens, leaf_pad, depth):
-        """Greedy top-k tree expansion: ONE device dispatch + ONE fetch.
+    def expand(committed_pad, depth):
+        """Greedy top-k tree expansion for every image: ONE device
+        dispatch + ONE fetch.
 
-        Each candidate records (tokens, the FINAL level's children array,
-        mapped row, stopped): an early-stopped leaf at level d maps to its
-        first descendant row (row * k^(depth-1-d)) in that array, whose
-        buffer columns are identical up to the candidate's own length (the
-        descendants' extra writes sit beyond n_valid, masked and later
-        overwritten column-exactly)."""
-        n_valid = p_len + len(leaf_tokens)
-        hist = np.zeros((1, max_decode_length), np.int32)
+        Per image, each candidate records (tokens, global final-level row,
+        stopped): an early-stopped leaf at level d maps to its first
+        descendant row (i*k^depth + row*k^(depth-1-d)) in the device-
+        resident final children array, whose buffer columns are identical
+        up to the candidate's own length (the descendants' extra writes
+        sit beyond n_valid, masked and later overwritten column-exactly).
+        Finished images contribute an empty candidate list."""
+        n_valid = p_len + committed_len
+        hist = np.zeros((n_img, max_decode_length), np.int32)
         valid = np.zeros_like(hist, bool)
-        if leaf_tokens:
-            hist[0, : len(leaf_tokens)] = leaf_tokens
-            valid[0, : len(leaf_tokens)] = True
+        for i, toks in enumerate(committed):
+            if toks:
+                hist[i, : len(toks)] = toks
+                valid[i, : len(toks)] = True
         topk_levels, final_children = expand_fn_for(depth)(
-            params, leaf_pad, jnp.asarray(n_valid, jnp.int32),
+            params, committed_pad, jnp.asarray(n_valid, jnp.int32),
             jnp.asarray(hist), jnp.asarray(valid)
         )
         topk_levels = [np.asarray(x) for x in
                        jax.device_get(topk_levels)]  # the ONE fetch
 
-        candidates = []  # (token list, children array, row, stopped)
-        tokens_list = [leaf_tokens]
-        live = [True]
-        for d in range(depth):
-            topk = topk_levels[d]
-            desc = k ** (depth - 1 - d)  # level-d row -> final-level row
-            new_tokens, new_live, keep_rows = [], [], []
-            for i, toks in enumerate(tokens_list):
-                for j in range(k):
-                    row = i * k + j
-                    if not live[i]:
-                        # child of an early-stopped leaf: dead padding row,
-                        # kept on device for static shapes, ignored here
-                        new_tokens.append(toks)
-                        new_live.append(False)
-                        continue
-                    nt = int(topk[i, j])
-                    seq = toks + [nt]
-                    if nt in special or d == depth - 1:
-                        candidates.append(
-                            (seq, final_children, row * desc, nt in special))
-                        new_tokens.append(seq)
-                        new_live.append(False)
-                    else:
-                        new_tokens.append(seq)
-                        new_live.append(True)
-                        keep_rows.append(row)
-            tokens_list, live = new_tokens, new_live
-            if not keep_rows:
-                break
-        return candidates
+        per_image = []  # list of [(token list, global row, stopped)]
+        kd = k ** depth
+        for i in range(n_img):
+            if done[i]:
+                per_image.append([])
+                continue
+            candidates = []
+            tokens_list = [committed[i]]
+            live = [True]
+            for d in range(depth):
+                rd = k ** d  # rows per image at this level
+                topk = topk_levels[d][i * rd : (i + 1) * rd]
+                desc = k ** (depth - 1 - d)  # level-d child -> final row
+                new_tokens, new_live, any_kept = [], [], False
+                for r, toks in enumerate(tokens_list):
+                    for j in range(k):
+                        row = r * k + j
+                        if not live[r]:
+                            # child of an early-stopped leaf: dead padding
+                            # row, kept on device for static shapes
+                            new_tokens.append(toks)
+                            new_live.append(False)
+                            continue
+                        nt = int(topk[r, j])
+                        seq = toks + [nt]
+                        if nt in special or d == depth - 1:
+                            candidates.append(
+                                (seq, i * kd + row * desc, nt in special))
+                            new_tokens.append(seq)
+                            new_live.append(False)
+                        else:
+                            new_tokens.append(seq)
+                            new_live.append(True)
+                            any_kept = True
+                tokens_list, live = new_tokens, new_live
+                if not any_kept:
+                    break
+            per_image.append(candidates)
+        return per_image, final_children
 
     while True:
-        depth = min(look_ahead, max_decode_length - len(committed_tokens))
-        candidates = expand(list(committed_tokens), committed_pad, max(depth, 1))
+        depth = min(look_ahead, max_decode_length - committed_len)
+        per_image, final_children = expand(committed_pad, max(depth, 1))
 
-        texts = [tokenizer.decode_tokens([t for t in c[0] if t not in special])
-                 for c in candidates]
+        # one CLIP text batch over every live image's candidates
+        texts, slices = [], [None] * n_img
+        for i, cands in enumerate(per_image):
+            if not cands:
+                continue
+            start = len(texts)
+            texts.extend(
+                tokenizer.decode_tokens([t for t in c[0] if t not in special])
+                for c in cands
+            )
+            slices[i] = (start, len(texts))
         text_feats = clip_scoring.embed_text(texts)
         # eps guard is a DELIBERATE divergence from the reference, which
         # normalizes with a bare torch.norm divide (evaluate_model.py:284-285)
@@ -212,23 +296,40 @@ def generate_clip_guided(
         text_feats = text_feats / jnp.maximum(
             jnp.linalg.norm(text_feats, axis=-1, keepdims=True), 1e-8
         )
-        best = int(np.asarray(jax.device_get(jnp.argmax(text_feats @ img))))
-        best_tokens, best_children, best_row, stopped = candidates[best]
-        best_pad = best_children[best_row : best_row + 1]
+        scores = np.asarray(
+            jax.device_get(text_feats @ imgs.T), np.float32)  # [C, N]
 
+        rows_idx = np.zeros(n_img, np.int64)
+        for i, cands in enumerate(per_image):
+            if not cands:
+                continue
+            lo, hi = slices[i]
+            best = int(np.argmax(scores[lo:hi, i]))
+            best_tokens, best_row, stopped = cands[best]
+            rows_idx[i] = best_row
+            if step_by_step:
+                committed[i] = best_tokens[: committed_len + 1]
+                last = committed[i][-1]
+                if committed_len + 1 >= max_decode_length or last in special:
+                    done[i] = True
+            else:
+                committed[i] = best_tokens
+                if stopped or len(best_tokens) >= max_decode_length:
+                    done[i] = True
+
+        if all(done):
+            break
         if step_by_step:
-            committed_tokens = best_tokens[: len(committed_tokens) + 1]
+            committed_len += 1
             # re-extend from the committed prefix only: zero the tail
-            keep = p_len + len(committed_tokens)
-            col = jnp.arange(max_t)[None, :, None] < keep
-            committed_pad = jnp.where(col, best_pad, 0).astype(best_pad.dtype)
-            last = committed_tokens[-1]
-            if len(committed_tokens) >= max_decode_length or last in special:
-                break
+            # (done/finished rows gather junk — never read again)
+            committed_pad = gather_trim(
+                final_children, jnp.asarray(rows_idx), p_len + committed_len)
         else:
-            committed_tokens, committed_pad = best_tokens, best_pad
-            if stopped or len(committed_tokens) >= max_decode_length:
-                break
+            committed_len += depth
+            committed_pad = gather(final_children, jnp.asarray(rows_idx))
 
-    out = [t for t in committed_tokens if t not in special]
-    return tokenizer.decode_tokens(out)
+    return [
+        tokenizer.decode_tokens([t for t in toks if t not in special])
+        for toks in committed
+    ]

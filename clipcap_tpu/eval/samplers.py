@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..decode.beam import (beam_search, beam_search_batched, best_beam_text,
                            best_beam_texts)
-from ..decode.clip_guided import generate_clip_guided
+from ..decode.clip_guided import (generate_clip_guided,
+                                  generate_clip_guided_batch)
 from ..decode.engine import GenerationSettings, generate, trim_and_decode
 
 
@@ -138,6 +139,29 @@ class ClipGuidedCaptionSampler(CaptionSamplerBase):
             repetition_penalty_value=self.repetition_penalty,
         )
         return [caption]
+
+    def sample_batch(self, bundle, image_tensors, images) -> List[str]:
+        """One clip-guided caption for EACH of N images with every tree
+        dispatch, relay sync, and CLIP text batch shared across images
+        (generate_clip_guided_batch — the per-chunk ~60 ms relay sync and
+        the XL weight stream are the whole cost at batch 1). Per-image
+        results match sample() exactly on CPU f32; bf16 near-tie caveat
+        in the batch function's docstring."""
+        image_tensors = jnp.asarray(image_tensors)
+        if image_tensors.ndim == 3:
+            image_tensors = image_tensors[None]
+        prefix = bundle.project_prefix(bundle.encode_image(image_tensors))
+        clip_embs = jnp.concatenate([
+            self.clip_scoring.embed_image(
+                self.clip_scoring.preprocess_image(img))
+            for img in images
+        ], axis=0)
+        return generate_clip_guided_batch(
+            bundle, self.clip_scoring, clip_embs, prefix,
+            branching_factor=self.branching_factor,
+            look_ahead=self.look_ahead,
+            repetition_penalty_value=self.repetition_penalty,
+        )
 
 
 class BeamCaptionSampler(CaptionSamplerBase):

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from clipcap_tpu.core.config import CaptionerConfig, GPT2Config, MapperConfig
-from clipcap_tpu.decode.clip_guided import generate_clip_guided
+from clipcap_tpu.decode.clip_guided import (generate_clip_guided,
+                                            generate_clip_guided_batch)
 from clipcap_tpu.models import captioner, gpt2
 from clipcap_tpu.models.bundle import CaptionerBundle
 from clipcap_tpu.ops.sampling import repetition_penalty
@@ -147,6 +148,36 @@ def test_matches_naive_reference(bundle, scoring, step_by_step):
                                repetition_penalty_value=1.2,
                                step_by_step=step_by_step)
     assert got == want
+
+
+@pytest.mark.parametrize("step_by_step", [False, True])
+@pytest.mark.parametrize("scoring", [StubScoring(), ShortestScoring()])
+def test_batch_matches_singles(bundle, scoring, step_by_step):
+    """generate_clip_guided_batch == N independent single calls, per
+    image, including images that finish at different chunk counts (the
+    junk-row path for finished images)."""
+    n = 3
+    if isinstance(scoring, ShortestScoring):
+        imgs = jnp.asarray(
+            np.tile(np.asarray([1.0, 0.1], np.float32), (n, 1)))
+    else:
+        imgs = jnp.asarray(
+            np.arange(n * 8, dtype=np.float32).reshape(n, 8) + 1.0)
+    prefix = jax.random.normal(jax.random.PRNGKey(5), (n, 4, CFG.n_embd)) * 0.3
+
+    singles = [
+        generate_clip_guided(bundle, scoring, imgs[i], prefix[i : i + 1],
+                             max_decode_length=9, look_ahead=3,
+                             branching_factor=2,
+                             repetition_penalty_value=1.2,
+                             step_by_step=step_by_step)
+        for i in range(n)
+    ]
+    batched = generate_clip_guided_batch(
+        bundle, scoring, imgs, prefix, max_decode_length=9, look_ahead=3,
+        branching_factor=2, repetition_penalty_value=1.2,
+        step_by_step=step_by_step)
+    assert batched == singles
 
 
 def test_level_cache_keys_on_hyperparameters(bundle):

@@ -9,6 +9,7 @@ import json
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from clipcap_tpu.core.config import (
     CaptionerConfig,
@@ -151,3 +152,21 @@ def test_validator_end_to_end(coco_dir, tiny_world):
 def test_image_dataset_missing_file_returns_none(coco_dir):
     ds = CocoImageDataset(str(coco_dir / "captions.json"), str(coco_dir / "nowhere"))
     assert ds[0] is None
+
+
+def test_clip_guided_sample_batch_matches_singles(coco_dir, tiny_world):
+    """ClipGuidedCaptionSampler.sample_batch == per-image sample() (the
+    batched path shares every tree dispatch / CLIP text batch across
+    images — generate_clip_guided_batch; exact on CPU f32)."""
+    bundle, scoring = tiny_world
+    dataset = CocoImageDataset(str(coco_dir / "captions.json"), str(coco_dir / "images"))
+    sampler = ClipGuidedCaptionSampler(scoring, branching_factor=2, look_ahead=2)
+
+    items = [dataset[i] for i in range(2)]
+    images = [it["image"] for it in items]
+    tensors = np.stack([np.asarray(preprocess(img)) for img in images])
+
+    singles = [sampler.sample(bundle, jnp.asarray(tensors[i]), images[i])[0]
+               for i in range(2)]
+    batched = sampler.sample_batch(bundle, tensors, images)
+    assert batched == singles
