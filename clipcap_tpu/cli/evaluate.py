@@ -21,6 +21,7 @@ def evaluate(
     branching_factor: int = 2,
     look_ahead: int = 4,
     preprocess=None,
+    eval_batch_size: int = 8,
 ) -> dict:
     from ..data.coco import CocoImageDataset
     from ..data.preprocessing import blip_preprocess, clip_preprocess
@@ -44,9 +45,15 @@ def evaluate(
         },
         clip_scoring,
     )
-    for i in range(min(max_samples, len(dataset))):
-        item = dataset[i]
-        validator.process(bundle, [item])
+    # images go through the validator in chunks: samplers with a
+    # sample_batch run once per chunk (beam/clip-guided are per-image
+    # exact; nobeam's sampled rows match in distribution only — pass
+    # eval_batch_size=1 for reference-exact image-at-a-time trajectories)
+    n = min(max_samples, len(dataset))
+    step = max(1, int(eval_batch_size))
+    for i in range(0, n, step):
+        items = [dataset[j] for j in range(i, min(i + step, n))]
+        validator.process(bundle, items)
     results = validator.get_results()
     print(json.dumps(
         {k: v for k, v in results.items() if k != "captions"}, indent=2, default=float
@@ -69,6 +76,10 @@ def main(argv=None):
     p.add_argument("--int8_decode", action="store_true",
                    help="int8 weight-streaming decode for the samplers "
                         "(gpt2/gptj; see models/bundle.enable_int8_decode)")
+    p.add_argument("--eval_batch_size", type=int, default=8,
+                   help="images per validator chunk; samplers with a "
+                        "batched path run once per chunk (1 = reference-"
+                        "exact image-at-a-time)")
     args = p.parse_args(argv)
 
     from ..eval.clip_scoring import ClipScoring
@@ -82,7 +93,8 @@ def main(argv=None):
     scoring = ClipScoring(ranker.vit_params, ranker.vit_cfg, ranker.text_params,
                           ranker.text_cfg, ranker.tokenizer)
     evaluate(bundle, scoring, args.valid_json_path, args.image_folder_path,
-             max_samples=args.max_samples)
+             max_samples=args.max_samples,
+             eval_batch_size=args.eval_batch_size)
 
 
 if __name__ == "__main__":

@@ -354,10 +354,15 @@ def _build_validator(args, cap_cfg, lm_cfg, tokenizer, vit_cfg, preprocess):
             tokenizer=tokenizer, vit_cfg=vit_cfg,
         )
         validator.reset()
-        for i in range(min(limit, len(dataset))):
-            item = dataset[i]
-            if item is not None:
-                validator.process(bundle, [item])
+        # chunks of 8: batched samplers run once per chunk (beam/clip-
+        # guided per-image exact; nobeam distribution-equal — see
+        # eval/samplers.py sample_batch)
+        n = min(limit, len(dataset))
+        for i in range(0, n, 8):
+            items = [x for x in (dataset[j] for j in range(i, min(i + 8, n)))
+                     if x is not None]
+            if items:
+                validator.process(bundle, items)
         return validator.get_results()  # "captions" feeds the sample table
 
     return validate_fn

@@ -114,6 +114,64 @@ class NoBeamCaptionSampler(CaptionSamplerBase):
                            jax.random.PRNGKey(self.seed))
         return trim_and_decode(out, tokenizer, strip_special=True)
 
+    def sample_batch(self, bundle, image_tensors, images=None) -> List[List[str]]:
+        """The top_p sweep for EACH of N images in ONE generate() call
+        (N * len(top_p_values) rows — at batch 1 a GPT2-XL decode step
+        streams 3.1 GB of weights for a handful of rows; stacking images
+        shares that stream). `images` is unused (uniform sample_batch
+        signature across samplers).
+
+        Token streams match per-image sample() in DISTRIBUTION but are
+        not bit-identical: the engine draws one [rows, V] Gumbel per step,
+        so a row's random bits depend on its index in the stacked batch
+        (same caveat as decode/serving.py's refill rng alignment). With
+        top_p small enough to pin the top token (or temperature -> 0) the
+        outputs are exact — pinned in tests/test_validator_integration.py."""
+        assert self.max_decode_length <= 77, "maximum context length for CLIP models is 77"
+        tokenizer = bundle.tokenizer
+        image_tensors = jnp.asarray(image_tensors)
+        if image_tensors.ndim == 3:
+            image_tensors = image_tensors[None]
+        prefix = bundle.project_prefix(bundle.encode_image(image_tensors))
+        n_img, n_p = prefix.shape[0], len(self.top_p_values)
+        # row layout: image-major [img0 x sweep, img1 x sweep, ...]
+        prefix_rep = jnp.repeat(prefix, n_p, axis=0)
+        bos = jnp.full((n_img * n_p, 1), tokenizer.bos_token_id, jnp.int32)
+        prompt = jnp.concatenate([prefix_rep, bundle.embed_text(bos)], axis=1)
+
+        stop_id = tokenizer.encode_text(self.stop_token)[0]
+        # n_img keys the cache: the tiled top_p vector is baked into the
+        # settings closure, so a different image count must rebuild it
+        key = ("batch", n_img, id(bundle), id(bundle.lm_decode),
+               id(getattr(bundle, "cache_constraint", None)), stop_id,
+               tuple(tokenizer.all_special_ids))
+        if getattr(self, "_gen_fn_batch", None) is None or \
+                getattr(self, "_gen_key_batch", None) != key:
+            settings = GenerationSettings(
+                max_new_tokens=self.max_decode_length,
+                temperature=self.temperature,
+                top_p=jnp.tile(jnp.asarray(self.top_p_values, jnp.float32),
+                               n_img),
+                repetition_penalty=self.repetition_penalty,
+                stop_token_id=stop_id,
+                max_stops=self.max_stops,
+                stop_on_special=tuple(tokenizer.all_special_ids),
+                vocab_prefilter=self.vocab_prefilter,
+            )
+            constraint = getattr(bundle, "cache_constraint", None)
+            lm, lm_cfg = bundle.lm_decode, bundle.lm_cfg
+
+            @jax.jit
+            def _run(params, prompt, rng):
+                return generate(lm, params, lm_cfg, prompt, settings,
+                                rng=rng, cache_constraint=constraint)
+
+            self._gen_fn_batch, self._gen_key_batch = _run, key
+        out = self._gen_fn_batch(bundle.lm_decode_params, prompt,
+                                 jax.random.PRNGKey(self.seed))
+        flat = trim_and_decode(out, tokenizer, strip_special=True)
+        return [flat[i * n_p : (i + 1) * n_p] for i in range(n_img)]
+
 
 class ClipGuidedCaptionSampler(CaptionSamplerBase):
     def __init__(self, clip_scoring, branching_factor: int = 3, look_ahead: int = 4,
@@ -140,7 +198,7 @@ class ClipGuidedCaptionSampler(CaptionSamplerBase):
         )
         return [caption]
 
-    def sample_batch(self, bundle, image_tensors, images) -> List[str]:
+    def sample_batch(self, bundle, image_tensors, images) -> List[List[str]]:
         """One clip-guided caption for EACH of N images with every tree
         dispatch, relay sync, and CLIP text batch shared across images
         (generate_clip_guided_batch — the per-chunk ~60 ms relay sync and
@@ -156,12 +214,13 @@ class ClipGuidedCaptionSampler(CaptionSamplerBase):
                 self.clip_scoring.preprocess_image(img))
             for img in images
         ], axis=0)
-        return generate_clip_guided_batch(
+        caps = generate_clip_guided_batch(
             bundle, self.clip_scoring, clip_embs, prefix,
             branching_factor=self.branching_factor,
             look_ahead=self.look_ahead,
             repetition_penalty_value=self.repetition_penalty,
         )
+        return [[c] for c in caps]
 
 
 class BeamCaptionSampler(CaptionSamplerBase):
@@ -184,12 +243,13 @@ class BeamCaptionSampler(CaptionSamplerBase):
         )
         return [best_beam_text(out, bundle.tokenizer)]
 
-    def sample_batch(self, bundle, image_tensors) -> List[str]:
+    def sample_batch(self, bundle, image_tensors, images=None) -> List[List[str]]:
         """Best-beam caption for EACH of N images in one executable
         (beam_search_batched: N x beam_size rows share the weight stream
         instead of idling the MXU at batch 1 — see bench
         beam_search_gpt2xl_int8.batched_captions_per_sec). Semantics per
-        image are identical to sample()."""
+        image are identical to sample(); `images` is unused (uniform
+        sample_batch signature across samplers for the validator)."""
         image_tensors = jnp.asarray(image_tensors)
         if image_tensors.ndim == 3:
             image_tensors = image_tensors[None]
@@ -200,4 +260,4 @@ class BeamCaptionSampler(CaptionSamplerBase):
             beam_size=self.beam_size, max_new_tokens=self.max_decode_length,
             temperature=self.temperature, stop_token_id=stop_id,
         )
-        return best_beam_texts(out, bundle.tokenizer)
+        return [[t] for t in best_beam_texts(out, bundle.tokenizer)]

@@ -40,15 +40,26 @@ class CaptionValidator:
 
 class CocoCaptionValidator(CaptionValidator):
     def __init__(self, dataset, preprocess, caption_samplers: Dict[str, object],
-                 clip_scoring):
+                 clip_scoring, batched_sampling: bool = True):
         """dataset: data.coco.CocoImageDataset-like (get_index,
         load_image_by_id); preprocess: image -> [3,H,W] array for the
         captioner's visual encoder; caption_samplers: {id: sampler};
-        clip_scoring: eval.clip_scoring.ClipScoring."""
+        clip_scoring: eval.clip_scoring.ClipScoring.
+
+        batched_sampling: samplers exposing sample_batch run ONCE per
+        process() batch instead of once per image (the TPU win: a batch-1
+        GPT2-XL decode step streams 3.1 GB of weights either way, so N
+        images in one executable are ~N x faster — beam 4.8 -> 53.9 c/s,
+        clip-guided 1.34 s -> 244 ms/image measured). Per-image captions
+        are identical for beam/clip-guided; NoBeam's sampled rows match in
+        distribution but not bit-exactly (rng row alignment — see its
+        sample_batch docstring). Set False for reference-exact
+        image-at-a-time trajectories."""
         self.dataset = dataset
         self.preprocess = preprocess
         self.caption_samplers = caption_samplers
         self.clip_scoring = clip_scoring
+        self.batched_sampling = batched_sampling
         self.gt_captions_by_image_id = dataset.get_index().get_captions_by_image_id()
         self.reset()
 
@@ -61,23 +72,36 @@ class CocoCaptionValidator(CaptionValidator):
 
     def process(self, bundle, batch):
         batch = [x for x in batch if x is not None]
-        image_tensors = []
+        images = [item["image"] for item in batch]
+        image_tensors = [np.asarray(self.preprocess(img)) for img in images]
         image_captions_gt = []
 
-        for item in batch:
+        # batched sampling: one executable over the whole batch per
+        # sampler that supports it (see __init__ batched_sampling)
+        pre: Dict[str, List[List[str]]] = {}
+        if self.batched_sampling and len(batch) > 1:
+            stacked = np.stack(image_tensors, axis=0)
+            for sampler_id, sampler in self.caption_samplers.items():
+                fn = getattr(sampler, "sample_batch", None)
+                if fn is not None:
+                    pre[sampler_id] = fn(bundle, stacked, images)
+
+        for idx, item in enumerate(batch):
             image_entry = item["image_entry"]
-            image = item["image"]
+            image = images[idx]
 
             gt = self.gt_captions_by_image_id[image_entry.id]
             self.ground_truth_captions[image_entry.id] = [{"caption": c} for c in gt]
             image_captions_gt.append(gt)
 
-            image_tensor = np.asarray(self.preprocess(image))
-            image_tensors.append(image_tensor)
+            image_tensor = image_tensors[idx]
 
             sampling_results = []
             for sampler_id, sampler in self.caption_samplers.items():
-                captions = sampler.sample(bundle, jnp.asarray(image_tensor), image)
+                if sampler_id in pre:
+                    captions = pre[sampler_id][idx]
+                else:
+                    captions = sampler.sample(bundle, jnp.asarray(image_tensor), image)
                 self.caption_hypo[sampler_id][image_entry.id] = [{"caption": captions[0]}]
 
                 # fetch all scores in one transfer (per-element float() of a

@@ -166,7 +166,53 @@ def test_clip_guided_sample_batch_matches_singles(coco_dir, tiny_world):
     images = [it["image"] for it in items]
     tensors = np.stack([np.asarray(preprocess(img)) for img in images])
 
-    singles = [sampler.sample(bundle, jnp.asarray(tensors[i]), images[i])[0]
+    singles = [sampler.sample(bundle, jnp.asarray(tensors[i]), images[i])
                for i in range(2)]
     batched = sampler.sample_batch(bundle, tensors, images)
     assert batched == singles
+
+
+def test_nobeam_sample_batch_matches_singles(coco_dir, tiny_world):
+    """NoBeamCaptionSampler.sample_batch == per-image sample() whenever
+    the sampling is deterministic (top_p small enough to pin the top
+    token) — the batched sweep's rng rows differ otherwise (documented)."""
+    bundle, _ = tiny_world
+    dataset = CocoImageDataset(str(coco_dir / "captions.json"), str(coco_dir / "images"))
+    sampler = NoBeamCaptionSampler(top_p_values=[1e-6, 1e-6],
+                                   max_decode_length=8)
+
+    items = [dataset[i] for i in range(3)]
+    images = [it["image"] for it in items]
+    tensors = np.stack([np.asarray(preprocess(img)) for img in images])
+
+    singles = [sampler.sample(bundle, jnp.asarray(tensors[i]), images[i])
+               for i in range(3)]
+    batched = sampler.sample_batch(bundle, tensors, images)
+    assert batched == singles
+
+
+def test_validator_batched_sampling_matches_per_image(coco_dir, tiny_world):
+    """CocoCaptionValidator(batched_sampling=True) produces the same
+    captions/hypotheses as the per-image path for deterministic
+    samplers (beam + clip-guided exact; nobeam pinned via tiny top_p)."""
+    bundle, scoring = tiny_world
+    dataset = CocoImageDataset(str(coco_dir / "captions.json"), str(coco_dir / "images"))
+
+    def make_samplers():
+        return {
+            "nobeam": NoBeamCaptionSampler(top_p_values=[1e-6], max_decode_length=8),
+            "beam": BeamCaptionSampler(beam_size=2, max_decode_length=6),
+            "clip_guided": ClipGuidedCaptionSampler(scoring, branching_factor=2,
+                                                    look_ahead=2),
+        }
+
+    batch = [dataset[i] for i in range(2)]
+    v_batched = CocoCaptionValidator(dataset, preprocess, make_samplers(),
+                                     scoring, batched_sampling=True)
+    v_single = CocoCaptionValidator(dataset, preprocess, make_samplers(),
+                                    scoring, batched_sampling=False)
+    v_batched.process(bundle, batch)
+    v_single.process(bundle, batch)
+    assert v_batched.caption_hypo == v_single.caption_hypo
+    rb, rs = v_batched.get_results(), v_single.get_results()
+    assert rb["captions"] == rs["captions"]
