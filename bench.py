@@ -706,6 +706,63 @@ def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
     t_serving = time.perf_counter() - t0
     assert len(results) == n_requests
     lats = sorted(r["latency_s"] for r in results.values())
+    stats = dict(serv.last_stats or {})
+
+    # attribute the wall time (VERDICT r4 weak #2): time each executable
+    # the run actually used, standalone (pipelined dispatches, one fetch —
+    # a per-call sync floors at the ~30 ms relay round-trip), then
+    # step_s/refill_s are counts x unit times and bubble_s is the rest
+    # (un-hidden relay syncs + host scheduling on this 1-core box).
+    def _time_exec(launch, reps=8):
+        launch()  # warm (already compiled during the runs)
+        t0 = time.perf_counter()
+        out = [launch() for _ in range(reps)]
+        jax.block_until_ready(out[-1])
+        jax.device_get(out[-1])
+        return (time.perf_counter() - t0) / reps
+
+    t_unit = {}
+    if stats.get("chunks"):
+        import numpy as _np
+        b = serv.slots
+        zeros = jnp.zeros((b, PREFIX_LEN, cfg.n_embd), serv.dtype)
+        st = serv._init_fn(params_q, zeros, jnp.ones((b,), bool),
+                           jnp.full((b,), 30, jnp.int32),
+                           jax.random.PRNGKey(1))
+        box = {"st": st}
+
+        def chunk_launch(n):
+            def go():
+                box["st"], em, ev, su, nu = serv._chunk_exec(n)(
+                    params_q, box["st"])
+                return su
+            return go
+
+        step_s = 0.0
+        for n, cnt in sorted(stats["chunks"].items()):
+            t_unit[f"chunk{n}_ms"] = round(_time_exec(chunk_launch(n)) * 1e3, 2)
+            step_s += cnt * t_unit[f"chunk{n}_ms"] / 1e3
+        refill_s = 0.0
+        for r, cnt in sorted(stats.get("refills", {}).items()):
+            def refill_launch(r=r):
+                def go():
+                    box["st"] = serv._refill_jit(
+                        r, params_q, box["st"], zeros[:r],
+                        jnp.asarray(0, jnp.int32),
+                        jnp.full((r,), 30, jnp.int32),
+                        jnp.asarray(r, jnp.int32))
+                    return box["st"].stops
+                return go
+            t_unit[f"refill{r}_ms"] = round(
+                _time_exec(refill_launch(), reps=4) * 1e3, 2)
+            refill_s += cnt * t_unit[f"refill{r}_ms"] / 1e3
+        del box, st
+        stats["phase_breakdown"] = {
+            "step_s": round(step_s, 3),
+            "refill_s": round(refill_s, 3),
+            "bubble_s": round(max(t_serving - step_s - refill_s, 0.0), 3),
+            "unit_times": t_unit,
+        }
 
     t_static = None
     if include_static:
@@ -738,6 +795,18 @@ def _bench_serving(cfg, params_q, slots: int = 2 * BATCH,
             f"mean {float(caps.mean()):.1f} tokens"
         ),
         "n_requests": n_requests,
+        # scheduling counters + wall attribution (serving.py last_stats;
+        # occupancy = host-believed-live slot-steps / total, an upper bound)
+        "sched": {
+            "chunks": stats.get("chunks"),
+            "refills": stats.get("refills"),
+            "refill_pad_rows": stats.get("refill_pad_rows"),
+            "occupancy": stats.get("occupancy"),
+            "harvest_wait_s": round(stats.get("harvest_wait_s", 0.0), 3),
+            "dispatch_s": round(stats.get("dispatch_s", 0.0), 3),
+            "refill_dispatch_s": round(stats.get("refill_dispatch_s", 0.0), 3),
+        },
+        "phase_breakdown": stats.get("phase_breakdown"),
     }
 
 
@@ -1104,11 +1173,12 @@ def _bench_clip_guided(branching: int = 3, look_ahead: int = 2,
     """CLIP-guided lookahead decode (decode/clip_guided.py — the
     reference's generate_clip_guided, evaluate_model.py:183-310, its most
     expensive sampler and a cli/evaluate default): ms per image at
-    reference-like settings. GPT2-XL bf16 (the tree search runs
-    whole-sequence forwards — no int8 apply), real CLIP text tower doing
-    the candidate scoring; the tokenizer is a synthetic id<->word map
-    (lossless for timing: tokenize/decode cost is negligible next to the
-    branching^depth XL forwards)."""
+    reference-like settings. GPT2-XL int8 KV-cached tree (r5: the tree
+    runs `depth` decode steps per chunk instead of whole-sequence
+    forwards, and enable_int8_decode switches the steps to int8 weight
+    streaming), real CLIP text tower doing the candidate scoring; the
+    tokenizer is a synthetic id<->word map (lossless for timing:
+    tokenize/decode cost is negligible next to the tree dispatches)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -1166,6 +1236,7 @@ def _bench_clip_guided(branching: int = 3, look_ahead: int = 2,
 
     bundle = CaptionerBundle(params=params, cap_cfg=cap_cfg, lm_cfg=lm_cfg,
                              tokenizer=_Tok())
+    bundle.enable_int8_decode()  # the cached tree decodes via lm_decode
     prefix = jax.random.normal(
         jax.random.PRNGKey(3), (1, PREFIX_LEN, lm_cfg.n_embd), jnp.bfloat16)
     img_emb = jax.random.normal(jax.random.PRNGKey(4),
@@ -1212,9 +1283,34 @@ def _bench_clip_guided(branching: int = 3, look_ahead: int = 2,
         t0 = time.perf_counter()
         batched()
         tb.append(time.perf_counter() - t0)
+
+    # N=32: the per-chunk relay syncs (~2 round-trips) are the floor at
+    # N=16 once the tree is KV-cached; doubling N halves their per-image
+    # share at ~unchanged device cost per chunk row
+    n_batch2 = 32
+    prefix_n2 = jax.random.normal(
+        jax.random.PRNGKey(7), (n_batch2, PREFIX_LEN, lm_cfg.n_embd),
+        jnp.bfloat16)
+    imgs_n2 = jax.random.normal(jax.random.PRNGKey(8),
+                                (n_batch2, text_cfg.output_dim), jnp.float32)
+
+    def batched2():
+        return generate_clip_guided_batch(
+            bundle, scoring, imgs_n2, prefix_n2,
+            max_decode_length=max_decode_length,
+            look_ahead=look_ahead, branching_factor=branching,
+        )
+
+    batched2()
+    tb2 = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        batched2()
+        tb2.append(time.perf_counter() - t0)
     return {
         "ms_per_image": round(min(ts) * 1000, 1),
         "ms_per_image_batched": round(min(tb) * 1000 / n_batch, 1),
+        "ms_per_image_batched_n32": round(min(tb2) * 1000 / n_batch2, 1),
         "batch_images": n_batch,
         "branching": branching,
         "look_ahead": look_ahead,

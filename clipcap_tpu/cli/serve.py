@@ -15,6 +15,23 @@ from __future__ import annotations
 import argparse
 import json
 
+#: measured serving latency curve (GPT2-XL int8, reference-default
+#: sampling, natural-EOS caption workload — bench.py serving_latency_curve,
+#: BENCH_r04): slot count -> p50 request latency in seconds. More slots =
+#: more throughput but deeper queues (each request waits on more
+#: co-scheduled decode steps); the bench rerecords this every round.
+LATENCY_CURVE_P50_S = {128: 0.611, 256: 1.092, 512: 1.366}
+
+
+def pick_slots_for_p50(target_p50_s: float, curve=None) -> int:
+    """Largest benched slot count whose measured p50 latency meets the
+    target (throughput grows with slots, so largest-fitting maximizes
+    captions/s under the latency budget); the smallest benched count when
+    nothing fits (the floor this hardware offers)."""
+    curve = curve if curve is not None else LATENCY_CURVE_P50_S
+    fitting = [s for s, p50 in curve.items() if p50 <= target_p50_s]
+    return max(fitting) if fitting else min(curve)
+
 
 def serve_shard(
     bundle,
@@ -89,6 +106,10 @@ def main(argv=None):
                    help="CLIP-feature shard (tools/preprocess.py prefixes/*.npy)")
     p.add_argument("--out_jsonl", required=True)
     p.add_argument("--slots", type=int, default=256)
+    p.add_argument("--target_p50_s", type=float, default=None,
+                   help="pick --slots from the measured latency curve: the "
+                        "largest benched slot count whose p50 request "
+                        "latency meets this target (overrides --slots)")
     p.add_argument("--refill_size", type=int, default=0,
                    help="0 = slots // 8")
     p.add_argument("--steps_per_sync", type=int, default=16)
@@ -111,9 +132,13 @@ def main(argv=None):
         bundle.enable_int8_decode()
 
     feats = np.load(args.prefixes_npy)
+    slots = args.slots
+    if args.target_p50_s is not None:
+        slots = pick_slots_for_p50(args.target_p50_s)
+        print(f"target_p50_s={args.target_p50_s}: serving with {slots} slots")
     n = serve_shard(
         bundle, feats, args.out_jsonl,
-        slots=args.slots, refill_size=args.refill_size,
+        slots=slots, refill_size=args.refill_size,
         steps_per_sync=args.steps_per_sync,
         max_new_tokens=args.max_new_tokens,
         top_p=args.top_p, top_k=args.top_k, temperature=args.temperature,

@@ -283,6 +283,21 @@ def test_cli_serve_shard(tmp_path):
     assert all(0 < l["tokens"] <= 6 for l in lines)
 
 
+def test_cli_serve_pick_slots_for_p50():
+    """--target_p50_s picks the largest benched slot count meeting the
+    target, falling back to the smallest when nothing fits."""
+    from clipcap_tpu.cli.serve import LATENCY_CURVE_P50_S, pick_slots_for_p50
+
+    curve = {128: 0.6, 256: 1.1, 512: 1.4}
+    assert pick_slots_for_p50(2.0, curve) == 512  # everything fits -> max tput
+    assert pick_slots_for_p50(1.2, curve) == 256
+    assert pick_slots_for_p50(0.7, curve) == 128
+    assert pick_slots_for_p50(0.1, curve) == 128  # nothing fits -> floor
+    # the shipped curve is well-formed: latency grows with slots
+    pairs = sorted(LATENCY_CURVE_P50_S.items())
+    assert all(a[1] < b[1] for a, b in zip(pairs, pairs[1:]))
+
+
 def test_serving_data_parallel_matches_single_device():
     """DP serving on the 8-device mesh (parallel/dp.py constrain_cache as
     the serving cache_constraint): batch-sharded slots, replicated params —
