@@ -283,6 +283,28 @@ def test_cli_serve_shard(tmp_path):
     assert all(0 < l["tokens"] <= 6 for l in lines)
 
 
+def test_serving_chunk_ladder_matches_solo():
+    """Opt-in chunk_sizes ladder (cap-aligned chunk lengths): per-request
+    greedy tokens must match solo static-engine runs exactly across
+    refills/wraps — chunk boundaries never change a trajectory (the rng
+    splits once per STEP from the carried state rng). The ladder is
+    opt-in because it was measured SLOWER on the relay (fixed dispatch
+    overheads dominate zombie-step savings — serving.py ctor note)."""
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    caps = [3, 6, 5, 2, 4, 6, 1, 5, 3]
+    reqs = _requests(9, seed=31, caps=caps)
+    eng = ServingEngine(gpt2, CFG, prefix_len=P, settings=SETTINGS, slots=2,
+                        steps_per_sync=4, chunk_sizes=(4, 2, 1),
+                        dtype=jnp.float32)
+    got = eng.serve(list(reqs), params)
+    assert eng.last_stats["steps"] > 0
+    assert len(eng.last_stats["chunks"]) > 1  # the ladder actually engaged
+    for req in reqs:
+        want, want_stopped = _engine_single(gpt2, params, req, SETTINGS)
+        assert got[req.request_id]["tokens"] == want, req.request_id
+        assert got[req.request_id]["stopped"] == want_stopped
+
+
 def test_cli_serve_pick_slots_for_p50():
     """--target_p50_s picks the largest benched slot count meeting the
     target, falling back to the smallest when nothing fits."""
@@ -565,6 +587,25 @@ def test_bench_clip_guided_phase_smoke():
                                    max_decode_length=6, lm_cfg=cfg,
                                    text_cfg=tcfg)
     assert out["ms_per_image"] > 0
+
+
+def test_bench_config3_pipeline_phase_smoke():
+    """bench.py's _bench_config3_pipeline at tiny shapes on CPU (same
+    rationale as the serving/beam phase smokes)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    cfg = GPT2Config(vocab_size=128, n_positions=128, n_embd=32, n_layer=2,
+                     n_head=4)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    out = bench._bench_config3_pipeline(
+        cfg, gpt2.quantize_params(params), n_beam_images=2, beam_size=2,
+        nucleus_batch=2, vit_variant="ViT-B/32")
+    assert out["nucleus_captions_per_sec"] > 0
+    assert out["beam_captions_per_sec"] > 0
 
 
 def test_bench_tokenizer_phase_smoke():

@@ -103,3 +103,28 @@ def test_gptj_target(world):
                              j_prompt, d_prompt, max_new_tokens=15, gamma=3)
     np.testing.assert_array_equal(np.asarray(out["tokens"]),
                                   np.asarray(ref["tokens"]))
+
+
+def test_bench_speculative_distilled_phase_smoke():
+    """bench.py's _bench_speculative_distilled at tiny shapes on CPU:
+    rollouts -> CE distillation -> acceptance/latency measurement. Lives
+    in THIS module for the cache-clearing teardown (the while_loop
+    executables it compiles trip the latent pjit segfault otherwise —
+    see _clear_jax_caches_after_module)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    tgt = GPT2Config(vocab_size=64, n_positions=128, n_embd=32, n_layer=2,
+                     n_head=4)
+    dr = GPT2Config(vocab_size=64, n_positions=128, n_embd=16, n_layer=1,
+                    n_head=2)
+    out = bench._bench_speculative_distilled(
+        g=2, n_prompts=8, pfx=4, rollout=6, train_steps=50, train_batch=4,
+        n_eval=2, xl_cfg=tgt, dr_cfg=dr)
+    assert out["plain_ms_per_token"] > 0
+    assert out["realized_ms_per_token"] > 0
+    assert len(out["acceptance_curve"]) >= 2
+    assert out["tokens_per_chunk"] >= 1.0  # every chunk emits >= 1 token
