@@ -621,6 +621,14 @@ class Int8BeamCache(NamedTuple):
     tiled relayout copies around the reshape; r4 probes, CLAUDE.md). The
     attention dots consume a bitcast [R, NT, H, Dh] view directly — reads
     fused into dots never pay the padding, only materialized copies do.
+
+    Row-count ceiling (measured r5, CLAUDE.md "Beam N=128 regression"):
+    decode_step_beam_q8 is linear to ~R=480 rows, then XLA layout
+    assignment flips the in-loop activation chain to batch-minor and the
+    step lands ~2.6x off linear by R=640 — robust to every structural
+    ablation tried (prefix dots/stream, tail write, slab orientation,
+    2D activations). Keep N*beam <= ~480 per executable (bench pins
+    N=64 x beam=5, which is at the 5-rows-per-caption engine roofline).
     """
 
     pk: jnp.ndarray  # [L, N, H, P, Dh] int8 prefix keys (per image)
