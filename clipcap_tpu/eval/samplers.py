@@ -224,6 +224,9 @@ class ClipGuidedCaptionSampler(CaptionSamplerBase):
 
 
 class BeamCaptionSampler(CaptionSamplerBase):
+    # one beam executable's row ceiling (N x beam) — see sample_batch
+    max_rows_per_call = 480
+
     def __init__(self, beam_size: int = 5, max_decode_length: int = 67,
                  temperature: float = 1.0, stop_token: str = "."):
         self.beam_size = beam_size
@@ -249,15 +252,28 @@ class BeamCaptionSampler(CaptionSamplerBase):
         instead of idling the MXU at batch 1 — see bench
         beam_search_gpt2xl_int8.batched_captions_per_sec). Semantics per
         image are identical to sample(); `images` is unused (uniform
-        sample_batch signature across samplers for the validator)."""
+        sample_batch signature across samplers for the validator).
+
+        Calls are chunked so one executable never exceeds
+        `max_rows_per_call` rows (N x beam, default 480): past that, XLA
+        layout assignment flips the decode step's activation chain
+        batch-minor and the step lands ~2.6x off linear (measured r5,
+        CLAUDE.md "Beam N=128 regression"). Chunking does not change
+        per-image tokens (images are independent)."""
         image_tensors = jnp.asarray(image_tensors)
         if image_tensors.ndim == 3:
             image_tensors = image_tensors[None]
-        prefix = bundle.project_prefix(bundle.encode_image(image_tensors))
         stop_id = bundle.tokenizer.encode_text(self.stop_token)[0]
-        out = beam_search_batched(
-            bundle.lm_decode, bundle.lm_decode_params, bundle.lm_cfg, prefix,
-            beam_size=self.beam_size, max_new_tokens=self.max_decode_length,
-            temperature=self.temperature, stop_token_id=stop_id,
-        )
-        return [[t] for t in best_beam_texts(out, bundle.tokenizer)]
+        max_images = max(1, self.max_rows_per_call // max(1, self.beam_size))
+        texts: List[str] = []
+        for lo in range(0, image_tensors.shape[0], max_images):
+            prefix = bundle.project_prefix(
+                bundle.encode_image(image_tensors[lo:lo + max_images]))
+            out = beam_search_batched(
+                bundle.lm_decode, bundle.lm_decode_params, bundle.lm_cfg,
+                prefix, beam_size=self.beam_size,
+                max_new_tokens=self.max_decode_length,
+                temperature=self.temperature, stop_token_id=stop_id,
+            )
+            texts.extend(best_beam_texts(out, bundle.tokenizer))
+        return [[t] for t in texts]

@@ -191,6 +191,24 @@ def test_nobeam_sample_batch_matches_singles(coco_dir, tiny_world):
     assert batched == singles
 
 
+def test_beam_sample_batch_chunking_matches_unchunked(coco_dir, tiny_world):
+    """BeamCaptionSampler.sample_batch chunks calls to max_rows_per_call
+    rows (the r5-measured XLA layout cliff past ~480 rows, CLAUDE.md
+    'Beam N=128 regression'); chunking must not change per-image
+    captions (images are independent)."""
+    bundle, _ = tiny_world
+    dataset = CocoImageDataset(str(coco_dir / "captions.json"), str(coco_dir / "images"))
+    items = [dataset[i % 2] for i in range(3)]
+    tensors = np.stack(
+        [np.asarray(preprocess(it["image"])) for it in items])
+
+    sampler = BeamCaptionSampler(beam_size=2, max_decode_length=6)
+    whole = sampler.sample_batch(bundle, tensors)
+    sampler.max_rows_per_call = 2  # forces 1 image per call
+    chunked = sampler.sample_batch(bundle, tensors)
+    assert chunked == whole
+
+
 def test_validator_batched_sampling_matches_per_image(coco_dir, tiny_world):
     """CocoCaptionValidator(batched_sampling=True) produces the same
     captions/hypotheses as the per-image path for deterministic
