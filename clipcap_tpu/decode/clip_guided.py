@@ -136,6 +136,11 @@ def generate_clip_guided_batch(
     resolve top-k near-ties differently than the single-image shapes
     (kernel tiling changes the reduction rounding — same caveat as
     decode/speculative.py's chunked verification).
+
+    Width bound: keep N * branching_factor**look_ahead <= ~512 — past
+    ~512 rows XLA's layout assignment flips decode_step's activation
+    chain batch-minor and the step pays ~1.7x (measured r5, CLAUDE.md
+    "Beam N=128 regression"). N=56 at the default k=3, la=2.
     """
     assert max_decode_length <= 77, "maximum context length for CLIP models is 77"
     tokenizer = bundle.tokenizer
