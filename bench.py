@@ -1520,6 +1520,15 @@ def _bench_clip_guided(branching: int = 3, look_ahead: int = 2,
     bundle = CaptionerBundle(params=params, cap_cfg=cap_cfg, lm_cfg=lm_cfg,
                              tokenizer=_Tok())
     bundle.enable_int8_decode()  # the cached tree decodes via lm_decode
+    # free the bf16 LM (3.1 GB): this phase only touches the decode
+    # surface (lm_decode_params int8), and the N=56 tree's final level
+    # (504 rows x maxT=81 int8 K/V + f32 scales ~8 GB transient) OOMs the
+    # 16 GB chip with the dead bf16 copy resident. Sync the quantize
+    # (scalar fetch — block_until_ready does not sync through the relay)
+    # before dropping its input.
+    float(jnp.sum(
+        bundle.lm_decode_params["wpe"][0, :4].astype(jnp.float32)))
+    params["lm"] = None
     prefix = jax.random.normal(
         jax.random.PRNGKey(3), (1, PREFIX_LEN, lm_cfg.n_embd), jnp.bfloat16)
     img_emb = jax.random.normal(jax.random.PRNGKey(4),
@@ -1544,61 +1553,61 @@ def _bench_clip_guided(branching: int = 3, look_ahead: int = 2,
 
     # batched across images (generate_clip_guided_batch): the per-chunk
     # relay sync + XL weight stream — the whole batch-1 cost — amortize
-    # over N images sharing every tree dispatch and CLIP text batch
-    n_batch = 16
+    # over N images sharing every tree dispatch and CLIP text batch.
+    # N=16 leaves the ~2 relay round-trips/chunk as the floor; N=32
+    # halves their per-image share; N=56 is the LARGEST width under the
+    # ~512-row layout cliff (N * k^la = 504 <= ~512 — past it the decode
+    # step's activation layout flips batch-minor and pays ~1.7x; r5,
+    # CLAUDE.md "Beam N=128 regression").
     from clipcap_tpu.decode.clip_guided import generate_clip_guided_batch
-    prefix_n = jax.random.normal(
-        jax.random.PRNGKey(5), (n_batch, PREFIX_LEN, lm_cfg.n_embd),
-        jnp.bfloat16)
-    imgs_n = jax.random.normal(jax.random.PRNGKey(6),
-                               (n_batch, text_cfg.output_dim), jnp.float32)
 
-    def batched():
-        return generate_clip_guided_batch(
-            bundle, scoring, imgs_n, prefix_n,
-            max_decode_length=max_decode_length,
-            look_ahead=look_ahead, branching_factor=branching,
-        )
+    tree_rows_cap = 512
+    batch_sizes = [n for n in (16, 32, 56)
+                   if n * branching ** look_ahead <= tree_rows_cap]
+    per_n = {}
+    for i, n_batch in enumerate(batch_sizes):
+        if i:
+            # drop the previous batch size's level executables before the
+            # bigger tree compiles (their workspace + the N=56 transients
+            # together OOM; params stay alive — the bundle holds them)
+            import gc
 
-    batched()  # compile the N-row level shapes
-    tb = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        batched()
-        tb.append(time.perf_counter() - t0)
+            gc.collect()
+            jax.clear_caches()
+        prefix_n = jax.random.normal(
+            jax.random.PRNGKey(5 + 2 * i),
+            (n_batch, PREFIX_LEN, lm_cfg.n_embd), jnp.bfloat16)
+        imgs_n = jax.random.normal(
+            jax.random.PRNGKey(6 + 2 * i),
+            (n_batch, text_cfg.output_dim), jnp.float32)
 
-    # N=32: the per-chunk relay syncs (~2 round-trips) are the floor at
-    # N=16 once the tree is KV-cached; doubling N halves their per-image
-    # share at ~unchanged device cost per chunk row
-    n_batch2 = 32
-    prefix_n2 = jax.random.normal(
-        jax.random.PRNGKey(7), (n_batch2, PREFIX_LEN, lm_cfg.n_embd),
-        jnp.bfloat16)
-    imgs_n2 = jax.random.normal(jax.random.PRNGKey(8),
-                                (n_batch2, text_cfg.output_dim), jnp.float32)
+        def batched():
+            return generate_clip_guided_batch(
+                bundle, scoring, imgs_n, prefix_n,
+                max_decode_length=max_decode_length,
+                look_ahead=look_ahead, branching_factor=branching,
+            )
 
-    def batched2():
-        return generate_clip_guided_batch(
-            bundle, scoring, imgs_n2, prefix_n2,
-            max_decode_length=max_decode_length,
-            look_ahead=look_ahead, branching_factor=branching,
-        )
+        batched()  # compile the N-row level shapes
+        tb = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            batched()
+            tb.append(time.perf_counter() - t0)
+        per_n[n_batch] = round(min(tb) * 1000 / n_batch, 1)
 
-    batched2()
-    tb2 = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        batched2()
-        tb2.append(time.perf_counter() - t0)
-    return {
+    out = {
         "ms_per_image": round(min(ts) * 1000, 1),
-        "ms_per_image_batched": round(min(tb) * 1000 / n_batch, 1),
-        "ms_per_image_batched_n32": round(min(tb2) * 1000 / n_batch2, 1),
-        "batch_images": n_batch,
+        "ms_per_image_batched": per_n.get(16),
+        "batch_images": 16,
         "branching": branching,
         "look_ahead": look_ahead,
         "max_decode_length": max_decode_length,
     }
+    for n_batch, v in per_n.items():
+        if n_batch != 16:
+            out[f"ms_per_image_batched_n{n_batch}"] = v
+    return out
 
 
 def _bench_tokenizer(n_captions: int = 20_000) -> dict:
