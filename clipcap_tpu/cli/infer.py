@@ -146,7 +146,10 @@ def folder_demo(
     if batched_beam:
         from ..decode.beam import beam_search_batched, best_beam_texts
 
-        chunk = int(generation_kwargs.get("beam_image_batch", 16))
+        # 64 images x beam 5 = 320 rows is the measured throughput optimum
+        # (bench beam_search_gpt2xl_int8: 54 captions/s; larger chunks hit
+        # the ~480-row layout cliff — CLAUDE.md "Beam N=128 regression")
+        chunk = int(generation_kwargs.get("beam_image_batch", 64))
         for lo in range(0, len(loaded), chunk):
             part = loaded[lo:lo + chunk]
             pixels = jnp.asarray(np.stack(

@@ -198,28 +198,41 @@ class ClipGuidedCaptionSampler(CaptionSamplerBase):
         )
         return [caption]
 
+    # one tree dispatch's row ceiling (N * branching**look_ahead) — past
+    # ~512 rows the decode step's activation layout flips batch-minor and
+    # pays ~1.7x (r5, CLAUDE.md "Beam N=128 regression"); N=56 at the
+    # bench's k=3/la=2 measures 83.4 ms/image, the best point
+    max_rows_per_call = 512
+
     def sample_batch(self, bundle, image_tensors, images) -> List[List[str]]:
         """One clip-guided caption for EACH of N images with every tree
         dispatch, relay sync, and CLIP text batch shared across images
         (generate_clip_guided_batch — the per-chunk ~60 ms relay sync and
         the XL weight stream are the whole cost at batch 1). Per-image
         results match sample() exactly on CPU f32; bf16 near-tie caveat
-        in the batch function's docstring."""
+        in the batch function's docstring. Calls are chunked to
+        `max_rows_per_call` tree rows (chunking does not change per-image
+        tokens — images are independent)."""
         image_tensors = jnp.asarray(image_tensors)
         if image_tensors.ndim == 3:
             image_tensors = image_tensors[None]
-        prefix = bundle.project_prefix(bundle.encode_image(image_tensors))
-        clip_embs = jnp.concatenate([
-            self.clip_scoring.embed_image(
-                self.clip_scoring.preprocess_image(img))
-            for img in images
-        ], axis=0)
-        caps = generate_clip_guided_batch(
-            bundle, self.clip_scoring, clip_embs, prefix,
-            branching_factor=self.branching_factor,
-            look_ahead=self.look_ahead,
-            repetition_penalty_value=self.repetition_penalty,
-        )
+        tree_rows = self.branching_factor ** self.look_ahead
+        max_images = max(1, self.max_rows_per_call // max(1, tree_rows))
+        caps: List[str] = []
+        for lo in range(0, image_tensors.shape[0], max_images):
+            part = image_tensors[lo:lo + max_images]
+            prefix = bundle.project_prefix(bundle.encode_image(part))
+            clip_embs = jnp.concatenate([
+                self.clip_scoring.embed_image(
+                    self.clip_scoring.preprocess_image(img))
+                for img in images[lo:lo + max_images]
+            ], axis=0)
+            caps.extend(generate_clip_guided_batch(
+                bundle, self.clip_scoring, clip_embs, prefix,
+                branching_factor=self.branching_factor,
+                look_ahead=self.look_ahead,
+                repetition_penalty_value=self.repetition_penalty,
+            ))
         return [[c] for c in caps]
 
 

@@ -191,6 +191,23 @@ def test_nobeam_sample_batch_matches_singles(coco_dir, tiny_world):
     assert batched == singles
 
 
+def test_clip_guided_sample_batch_chunking_matches_unchunked(coco_dir, tiny_world):
+    """ClipGuidedCaptionSampler.sample_batch chunks to max_rows_per_call
+    tree rows (r5 layout-cliff bound); chunking must not change per-image
+    captions."""
+    bundle, scoring = tiny_world
+    dataset = CocoImageDataset(str(coco_dir / "captions.json"), str(coco_dir / "images"))
+    items = [dataset[i % 2] for i in range(3)]
+    images = [it["image"] for it in items]
+    tensors = np.stack([np.asarray(preprocess(img)) for img in images])
+
+    sampler = ClipGuidedCaptionSampler(scoring, branching_factor=2, look_ahead=2)
+    whole = sampler.sample_batch(bundle, tensors, images)
+    sampler.max_rows_per_call = 4  # 2^2 rows/image -> 1 image per call
+    chunked = sampler.sample_batch(bundle, tensors, images)
+    assert chunked == whole
+
+
 def test_beam_sample_batch_chunking_matches_unchunked(coco_dir, tiny_world):
     """BeamCaptionSampler.sample_batch chunks calls to max_rows_per_call
     rows (the r5-measured XLA layout cliff past ~480 rows, CLAUDE.md
