@@ -43,9 +43,17 @@ def serve_shard(
     map_batch: int = 512,
     admission: str = "fifo",
     max_lengths=None,  # optional [N] per-image new-token caps
+    max_request_length: int = 0,
     **generation_kwargs,
 ) -> int:
-    """Caption every row of clip_features; returns the number written."""
+    """Caption every row of clip_features; returns the number written.
+
+    `max_request_length` > 0 declares the per-request cap bound to the
+    engine, which sizes the KV ring to it — every decode step streams the
+    whole ring, so the declaration is ~proportional step time off
+    (bench: 482 vs 419 captions/s at a declared 30 vs the 67 safety
+    cap). Every request's cap (max_lengths[i], else max_new_tokens)
+    must be <= the declared bound (decode/serving.py validates)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -53,9 +61,18 @@ def serve_shard(
     from ..decode.serving import Request
 
     settings = GenerationSettings(**generation_kwargs)
+    if max_request_length and settings.eos_token_id is None:
+        # caps bind through the engine's completion logic (engine parity:
+        # over_length only evaluates when eos handling is on) — without it
+        # rows would outrun the declaration-sized ring
+        raise ValueError(
+            "max_request_length requires eos_token_id (length caps bind "
+            "through the engine's eos/completion logic)"
+        )
     engine = bundle.make_serving_engine(
         settings, slots=slots,
         refill_size=refill_size or None, steps_per_sync=steps_per_sync,
+        max_request_length=max_request_length or None,
     )
 
     # mapper projection in fixed-size batches -> one device-resident pool
@@ -75,11 +92,17 @@ def serve_shard(
     # with per-image caps known (e.g. a length-budgeted batch job),
     # admission="length" groups refill blocks by cap so they retire
     # together — see decode/serving.serve
-    requests = [
-        Request(i, i, max_length=(int(max_lengths[i])
-                                  if max_lengths is not None else None))
-        for i in range(n)
-    ]
+    # a declared bound IS the hard cap when no per-image caps are given
+    # (the engine rejects requests whose effective cap exceeds it)
+    def _cap(i):
+        if max_lengths is not None:
+            return int(max_lengths[i])
+        if max_request_length:
+            return min(int(max_request_length),
+                       int(settings.max_new_tokens))
+        return None
+
+    requests = [Request(i, i, max_length=_cap(i)) for i in range(n)]
     results = engine.serve(requests, bundle.lm_decode_params,
                            prefix_pool=pool, admission=admission)
 
@@ -113,6 +136,15 @@ def main(argv=None):
     p.add_argument("--refill_size", type=int, default=0,
                    help="0 = slots // 8")
     p.add_argument("--steps_per_sync", type=int, default=16)
+    p.add_argument("--max_request_length", type=int, default=0,
+                   help="declare the per-request new-token cap bound; the "
+                        "KV ring is sized to it instead of max_new_tokens "
+                        "(+15%% measured throughput at a declared 30 vs "
+                        "the 67 safety cap — see bench serving phase). "
+                        "Length caps bind through the engine's completion "
+                        "logic, so --eos_token_id must be set (engine "
+                        "parity: without eos handling, generation runs to "
+                        "max_new_tokens)")
     p.add_argument("--int8_decode", action="store_true")
     p.add_argument("--max_new_tokens", type=int, default=67)
     p.add_argument("--top_p", type=float, default=0.0)
@@ -140,6 +172,7 @@ def main(argv=None):
         bundle, feats, args.out_jsonl,
         slots=slots, refill_size=args.refill_size,
         steps_per_sync=args.steps_per_sync,
+        max_request_length=args.max_request_length,
         max_new_tokens=args.max_new_tokens,
         top_p=args.top_p, top_k=args.top_k, temperature=args.temperature,
         repetition_penalty=args.repetition_penalty,

@@ -209,6 +209,17 @@ class ServingEngine:
         n = settings.max_new_tokens
         self.max_request_length = (
             None if max_request_length is None else int(max_request_length))
+        if (self.max_request_length is not None
+                and self.max_request_length < n
+                and settings.eos_token_id is None):
+            # caps bind through the engine-parity completion logic, which
+            # only evaluates when eos handling is on — without it rows run
+            # to the scan cap and outlive the declaration-sized ring
+            raise ValueError(
+                "max_request_length < max_new_tokens requires "
+                "settings.eos_token_id (length caps bind through the "
+                "engine's eos/completion logic)"
+            )
         lifetime = (n if self.max_request_length is None
                     else min(n, self.max_request_length + 1))
         self.ring_len = self.prompt_len + lifetime + 1

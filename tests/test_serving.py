@@ -282,6 +282,29 @@ def test_cli_serve_shard(tmp_path):
     assert all(isinstance(l["caption"], str) for l in lines)
     assert all(0 < l["tokens"] <= 6 for l in lines)
 
+    # declared cap bound (--max_request_length): sizes the ring to the
+    # declaration and hard-caps every request at it. Length caps bind
+    # through the engine's completion logic, which (engine parity) only
+    # runs when eos_token_id is set — so the declared run passes eos.
+    eos = len(vocab) - 1
+    out2 = tmp_path / "captions_declared.jsonl"
+    n2 = serve_shard(bundle, feats, str(out2), slots=4, steps_per_sync=3,
+                     map_batch=4, max_new_tokens=6, greedy=True,
+                     eos_token_id=eos, max_request_length=4)
+    assert n2 == 9
+    lines2 = [json.loads(l) for l in out2.read_text().splitlines()]
+    assert all(0 < l["tokens"] <= 4 for l in lines2)
+    # same greedy stream, truncated: captions that already fit the cap in
+    # an eos-aware rerun of the full-length config must be unchanged
+    out3 = tmp_path / "captions_eos6.jsonl"
+    serve_shard(bundle, feats, str(out3), slots=4, steps_per_sync=3,
+                map_batch=4, max_new_tokens=6, greedy=True,
+                eos_token_id=eos)
+    lines3 = [json.loads(l) for l in out3.read_text().splitlines()]
+    for a, b in zip(lines3, lines2):
+        if a["tokens"] <= 4:
+            assert b["caption"] == a["caption"]
+
 
 def test_serving_chunk_ladder_matches_solo():
     """Opt-in chunk_sizes ladder (cap-aligned chunk lengths): per-request
@@ -567,6 +590,19 @@ def test_serving_rejects_unknown_admission():
                         dtype=jnp.float32)
     with pytest.raises(ValueError, match="admission"):
         eng.serve(_requests(2, seed=1), params, admission="priority")
+
+
+def test_declared_cap_requires_eos():
+    """max_request_length < max_new_tokens without eos_token_id must be
+    rejected at engine construction: caps bind through the engine-parity
+    completion logic (over_length only evaluates with eos handling on),
+    so without it rows would outrun the declaration-sized ring."""
+    import dataclasses
+
+    no_eos = dataclasses.replace(SETTINGS, eos_token_id=None)
+    with pytest.raises(ValueError, match="eos_token_id"):
+        ServingEngine(gpt2, CFG, prefix_len=P, settings=no_eos, slots=2,
+                      max_request_length=3, dtype=jnp.float32)
 
 
 def test_bench_clip_guided_phase_smoke():
